@@ -1,0 +1,142 @@
+"""Keccak-256 (the pre-NIST pad-0x01 variant used by ``sha3::Keccak256``).
+
+Two entry points:
+
+* :class:`Keccak256` -- incremental hasher matching the Rust ``sha3`` crate's
+  ``Keccak256`` (reference ``transcripts/src/fiat_shamir/fiat_shamir_transcript.rs:5``),
+  including ``.copy()`` so the transcript's clone-finalize-reabsorb pattern is
+  reproducible bit-for-bit.
+* :func:`keccak256_batch` -- numpy-vectorized hashing of N equal-length
+  messages at once (25 uint64 lanes per state, all bitwise ops), used for
+  Merkle-tree layers where millions of leaf hashes are needed.
+
+A C++ native backend (``native/``) can replace the permutation transparently
+when built; the numpy path is always available.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RATE = 136  # bytes; Keccak-256 rate (1088 bits)
+
+_RC = np.array(
+    [
+        0x0000000000000001, 0x0000000000008082, 0x800000000000808A, 0x8000000080008000,
+        0x000000000000808B, 0x0000000080000001, 0x8000000080008081, 0x8000000000008009,
+        0x000000000000008A, 0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+        0x000000008000808B, 0x800000000000008B, 0x8000000000008089, 0x8000000000008003,
+        0x8000000000008002, 0x8000000000000080, 0x000000000000800A, 0x800000008000000A,
+        0x8000000080008081, 0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+    ],
+    dtype=np.uint64,
+)
+
+# rotation offsets indexed [x][y] (lane l = x + 5*y)
+_ROT = [
+    [0, 36, 3, 41, 18],
+    [1, 44, 10, 45, 2],
+    [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56],
+    [27, 20, 39, 8, 14],
+]
+
+_U64 = np.uint64
+
+
+def _rotl(x: np.ndarray, s: int) -> np.ndarray:
+    s %= 64
+    if s == 0:
+        return x
+    return (x << _U64(s)) | (x >> _U64(64 - s))
+
+
+def keccak_f1600(state: np.ndarray) -> np.ndarray:
+    """Keccak-f[1600] permutation on ``state[..., 25]`` uint64 lanes."""
+    A = [state[..., i] for i in range(25)]
+
+    def idx(x, y):
+        return x + 5 * y
+
+    for rnd in range(24):
+        # theta
+        C = [A[idx(x, 0)] ^ A[idx(x, 1)] ^ A[idx(x, 2)] ^ A[idx(x, 3)] ^ A[idx(x, 4)] for x in range(5)]
+        D = [C[(x - 1) % 5] ^ _rotl(C[(x + 1) % 5], 1) for x in range(5)]
+        for x in range(5):
+            for y in range(5):
+                A[idx(x, y)] = A[idx(x, y)] ^ D[x]
+        # rho + pi
+        B = [None] * 25
+        for x in range(5):
+            for y in range(5):
+                B[idx(y, (2 * x + 3 * y) % 5)] = _rotl(A[idx(x, y)], _ROT[x][y])
+        # chi
+        for x in range(5):
+            for y in range(5):
+                A[idx(x, y)] = B[idx(x, y)] ^ ((~B[idx((x + 1) % 5, y)]) & B[idx((x + 2) % 5, y)])
+        # iota
+        A[0] = A[0] ^ _RC[rnd]
+
+    return np.stack(A, axis=-1)
+
+
+def _absorb_block(state: np.ndarray, block: bytes) -> np.ndarray:
+    lanes = np.frombuffer(block, dtype="<u8")
+    state = state.copy()
+    state[: len(lanes)] ^= lanes
+    return keccak_f1600(state)
+
+
+class Keccak256:
+    """Incremental Keccak-256 with sha3-crate-compatible behavior."""
+
+    def __init__(self):
+        self._state = np.zeros(25, dtype=np.uint64)
+        self._buf = b""
+
+    def update(self, data: bytes) -> "Keccak256":
+        self._buf += bytes(data)
+        while len(self._buf) >= RATE:
+            self._state = _absorb_block(self._state, self._buf[:RATE])
+            self._buf = self._buf[RATE:]
+        return self
+
+    def copy(self) -> "Keccak256":
+        c = Keccak256.__new__(Keccak256)
+        c._state = self._state.copy()
+        c._buf = self._buf
+        return c
+
+    def digest(self) -> bytes:
+        pad_len = RATE - len(self._buf)
+        if pad_len == 1:
+            padded = self._buf + b"\x81"
+        else:
+            padded = self._buf + b"\x01" + b"\x00" * (pad_len - 2) + b"\x80"
+        state = _absorb_block(self._state, padded)
+        return state[:4].tobytes()  # 32 bytes, little-endian lanes
+
+
+def keccak256(data: bytes) -> bytes:
+    return Keccak256().update(data).digest()
+
+
+def keccak256_batch(messages: np.ndarray) -> np.ndarray:
+    """Hash N equal-length messages: [N, msg_len] uint8 -> [N, 32] uint8."""
+    n, mlen = messages.shape
+    pad_len = RATE - (mlen % RATE)
+    if pad_len == 1:
+        pad = np.full((n, 1), 0x81, np.uint8)
+    else:
+        pad = np.zeros((n, pad_len), np.uint8)
+        pad[:, 0] = 0x01
+        pad[:, -1] = 0x80
+    padded = np.concatenate([messages.astype(np.uint8), pad], axis=1)
+    nblocks = padded.shape[1] // RATE
+    state = np.zeros((n, 25), dtype=np.uint64)
+    for b in range(nblocks):
+        block = padded[:, b * RATE : (b + 1) * RATE]
+        lanes = block.reshape(n, RATE // 8, 8).copy().view("<u8").reshape(n, RATE // 8)
+        state[:, : RATE // 8] ^= lanes
+        state = keccak_f1600(state)
+    return state[:, :4].copy().view(np.uint8).reshape(n, 32)
