@@ -1,0 +1,155 @@
+"""Multilinear polynomials in evaluation (boolean-hypercube) form, on device.
+
+The table of ``2^n`` evaluations lives as a ``[..., N, L]`` uint32 limb array
+(Montgomery form).  The core op is the partial-evaluation *fold*
+``y1 + r*(y2 - y1)`` over pairs at stride ``2^(n-1-var)`` -- semantics match
+the reference's index walk (``polynomials/src/multilinear/evaluation_form.rs:61-106``)
+expressed as a reshape + vectorized lerp, which XLA fuses into one pass.
+
+Reference API parity (evaluation_form.rs):
+  new :12, evaluate :21, convert_to_bytes :35, number_of_variables :45,
+  scalar_mul :49, partial_evaluate :61, polynomial_tensor_add/_mul :108-143,
+  add_polynomials :145.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import arith
+from ..fields.arith import FieldCtx
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fold(ctx: FieldCtx, table: jnp.ndarray, var: int, r: jnp.ndarray) -> jnp.ndarray:
+    """Partially evaluate variable ``var`` at Montgomery scalar ``r [L]``.
+
+    table: [..., N, L] -> [..., N/2, L].  Variable 0 is the most-significant
+    index bit (pairs are the two halves of the table), as in the reference.
+    """
+    *batch, N, L = table.shape
+    lead = 1 << var
+    trail = N >> (var + 1)
+    t = table.reshape(*batch, lead, 2, trail, L)
+    lo = t[..., 0, :, :]
+    hi = t[..., 1, :, :]
+    out = arith.add(ctx, lo, arith.mont_mul(ctx, arith.sub(ctx, hi, lo), r))
+    return out.reshape(*batch, N // 2, L)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def sum_halves(ctx: FieldCtx, table: jnp.ndarray) -> jnp.ndarray:
+    """[N, L] -> [2, L]: modular sums of the two halves (one sumcheck round's
+    univariate in evaluation form; reference ``basic_sumcheck/prover.rs:74-89``)."""
+    N = table.shape[0]
+    halves = table.reshape(2, N // 2, ctx.L)
+    return arith.sum_mod(ctx, halves, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def tensor_add(ctx: FieldCtx, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Outer sum: out[i*Nc + j] = b[i] + c[j] (evaluation_form.rs:108-124)."""
+    out = arith.add(ctx, b[:, None, :], c[None, :, :])
+    return out.reshape(-1, ctx.L)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def tensor_mul(ctx: FieldCtx, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Outer product: out[i*Nc + j] = b[i] * c[j] (evaluation_form.rs:126-143)."""
+    out = arith.mont_mul(ctx, b[:, None, :], c[None, :, :])
+    return out.reshape(-1, ctx.L)
+
+
+class MultilinearPolynomial:
+    """Evaluation-form MLE over a device limb table (Montgomery form)."""
+
+    def __init__(self, ctx: FieldCtx, table: jnp.ndarray):
+        n = table.shape[0]
+        assert n > 0 and (n & (n - 1)) == 0, "Evaluated values must be a power of 2"
+        assert table.shape[-1] == ctx.L
+        self.ctx = ctx
+        self.table = table
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_ints(cls, ctx: FieldCtx, values) -> "MultilinearPolynomial":
+        return cls(ctx, ctx.array(list(values)))
+
+    # -- reference API -------------------------------------------------------
+    def __len__(self):
+        return self.table.shape[0]
+
+    @property
+    def number_of_variables(self) -> int:
+        return int(self.table.shape[0]).bit_length() - 1
+
+    def partial_evaluate(self, var: int, value) -> "MultilinearPolynomial":
+        r = self._as_scalar(value)
+        return MultilinearPolynomial(self.ctx, fold(self.ctx, self.table, var, r))
+
+    def evaluate(self, values) -> int:
+        """Evaluate at a point (list of ints / scalars); returns canonical int."""
+        t = self.table
+        for v in values:
+            t = fold(self.ctx, t, 0, self._as_scalar(v))
+        return self.ctx.to_ints(t[0])
+
+    def scalar_mul(self, value) -> "MultilinearPolynomial":
+        r = self._as_scalar(value)
+        return MultilinearPolynomial(self.ctx, arith.mont_mul(self.ctx, self.table, r))
+
+    def add(self, other: "MultilinearPolynomial") -> "MultilinearPolynomial":
+        assert len(self) == len(other), (
+            "Polynomials must have same number of evaluations for addition"
+        )
+        return MultilinearPolynomial(self.ctx, arith.add(self.ctx, self.table, other.table))
+
+    def tensor_add(self, other: "MultilinearPolynomial") -> "MultilinearPolynomial":
+        assert len(self) == len(other)
+        return MultilinearPolynomial(self.ctx, tensor_add(self.ctx, self.table, other.table))
+
+    def tensor_mul(self, other: "MultilinearPolynomial") -> "MultilinearPolynomial":
+        assert len(self) == len(other), "Different polynomial length"
+        return MultilinearPolynomial(self.ctx, tensor_mul(self.ctx, self.table, other.table))
+
+    def sum(self) -> int:
+        return self.ctx.to_ints(arith.sum_mod(self.ctx, self.table))
+
+    def convert_to_bytes(self) -> bytes:
+        """Big-endian canonical bytes of every evaluation, concatenated
+        (evaluation_form.rs:35-43)."""
+        plain = arith.from_mont(self.ctx, self.table)
+        return limbs_to_bytes_be(self.ctx, plain)
+
+    def to_ints(self):
+        return self.ctx.to_ints(self.table)
+
+    # -- helpers -------------------------------------------------------------
+    def _as_scalar(self, value) -> jnp.ndarray:
+        if isinstance(value, (int, np.integer)):
+            return self.ctx.scalar(int(value))
+        return value  # already a Montgomery [L] limb vector
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, MultilinearPolynomial)
+            and len(self) == len(other)
+            and bool(jnp.all(self.table == other.table))
+        )
+
+
+def limbs_to_bytes_be(ctx: FieldCtx, plain_limbs: jnp.ndarray) -> bytes:
+    """[N, L] strict *plain* (non-Montgomery) limbs -> concatenated BE bytes."""
+    a = np.asarray(jax.device_get(plain_limbs)).astype(np.uint16)
+    a = a[..., ::-1]  # big-endian limb order
+    out = a.astype(">u2").tobytes()
+    # nbytes per element must match arkworks bigint width
+    per = ctx.L * 2
+    if per == ctx.nbytes:
+        return out
+    # L*16 bits wider than the serialized bigint (never happens for our fields)
+    raise NotImplementedError
