@@ -1,0 +1,103 @@
+"""Degree-aware sumcheck over composed SumPolynomials (the GKR inner loop).
+
+Per round: evaluate the round univariate at ``degree+1`` sample points by
+folding the whole stacked ``[p, k, N, L]`` working set at t = 0..degree
+(independent folds -> batched on device), collapse elementwise and grand-sum;
+interpolate to coefficient form on the host; absorb **little-endian**
+coefficient bytes; squeeze; fold at the challenge.
+
+Reference parity: ``sumcheck_protocol/src/gkr_sumcheck/sumcheck_gkr_protocol.rs``
+(prove :24-67, verify :69-106, generate_round_univariate :113-143,
+univariate_to_bytes LE :145-150, field_element_to_bytes BE :152-154).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..fields import arith
+from ..fields.arith import FieldCtx
+from ..poly.composed import SumPolynomial, collapse_sum_of_products
+from ..poly.multilinear import fold
+from ..poly.univariate import DenseUnivariatePolynomial
+from ..transcript.fiat_shamir import Transcript
+
+
+@dataclass
+class SumcheckProverProof:
+    claimed_sum: int
+    round_univariate_polynomials: list[DenseUnivariatePolynomial]
+    random_challenges: list[int]
+
+
+@dataclass
+class SumcheckVerifierProof:
+    is_proof_valid: bool
+    random_challenges: list[int]
+    last_claimed_sum: int
+
+
+def generate_round_univariate(sum_polynomial: SumPolynomial) -> list[int]:
+    """Evaluations of the round univariate at t = 0..degree (canonical ints).
+
+    Mirrors sumcheck_gkr_protocol.rs:113-143.
+    """
+    ctx = sum_polynomial.ctx
+    degree = sum_polynomial.degree
+    evaluations = []
+    for t in range(degree + 1):
+        folded = fold(ctx, sum_polynomial.stacked, 0, ctx.scalar(t))
+        collapsed = collapse_sum_of_products(ctx, folded)
+        evaluations.append(ctx.to_ints(arith.sum_mod(ctx, collapsed)))
+    return evaluations
+
+
+def prove(
+    sum_polynomial: SumPolynomial, claimed_sum: int, transcript: Transcript
+) -> SumcheckProverProof:
+    ctx = sum_polynomial.ctx
+    number_of_variables = sum_polynomial.number_of_variables
+    degree = sum_polynomial.degree
+
+    round_polys: list[DenseUnivariatePolynomial] = []
+    random_challenges: list[int] = []
+    current = sum_polynomial
+
+    transcript.append(ctx.to_bytes_be(claimed_sum))
+
+    x_values = list(range(degree + 1))
+    for _ in range(number_of_variables):
+        evaluations = generate_round_univariate(current)
+        univariate = DenseUnivariatePolynomial.lagrange_interpolate(ctx, x_values, evaluations)
+        transcript.append(univariate.to_bytes_le())
+        round_polys.append(univariate)
+
+        r = transcript.random_challenge_as_field_element(ctx)
+        current = current.partial_evaluate(0, r)
+        random_challenges.append(r)
+
+    return SumcheckProverProof(
+        claimed_sum=claimed_sum,
+        round_univariate_polynomials=round_polys,
+        random_challenges=random_challenges,
+    )
+
+
+def verify(proof: SumcheckProverProof, transcript: Transcript, ctx: FieldCtx) -> SumcheckVerifierProof:
+    transcript.append(ctx.to_bytes_be(proof.claimed_sum))
+
+    current_sum = proof.claimed_sum % ctx.p
+    random_challenges: list[int] = []
+
+    for round_polynomial in proof.round_univariate_polynomials:
+        eval_at_zero = round_polynomial.evaluate(0)
+        eval_at_one = round_polynomial.evaluate(1)
+        if (eval_at_zero + eval_at_one) % ctx.p != current_sum:
+            return SumcheckVerifierProof(False, [], current_sum)
+
+        transcript.append(round_polynomial.to_bytes_le())
+        r = transcript.random_challenge_as_field_element(ctx)
+        current_sum = round_polynomial.evaluate(r)
+        random_challenges.append(r)
+
+    return SumcheckVerifierProof(True, random_challenges, current_sum)
