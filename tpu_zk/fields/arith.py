@@ -140,9 +140,9 @@ class FieldCtx:
 def field_ctx(name: str) -> FieldCtx:
     p = PRIMES[name]
     bits = p.bit_length()
+    # R = 2^(16L) > p suffices for a single conditional subtract in CIOS as
+    # long as inputs stay canonical (< p): result < (p^2 + R*p)/R < 2p.
     L = (bits + LIMB_BITS - 1) // LIMB_BITS
-    if (1 << (LIMB_BITS * L)) < 4 * p:  # need R > 4p for single cond-subtract
-        L += 1
     R = (1 << (LIMB_BITS * L)) % p
     n0inv = (-pow(p, -1, BASE)) % BASE
     return FieldCtx(
