@@ -1,0 +1,170 @@
+"""Benchmark harness: runs on the real TPU chip (axon default platform).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Full breakdown goes to stderr and benchmarks/results.json.
+
+Primary metric (per BASELINE.json): sumcheck prover round throughput.  The
+reference publishes no numbers (BASELINE.md), so vs_baseline is measured
+against our recorded previous-round result when available, else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+RESULTS_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "results.json")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def timeit(fn, warmup=1, iters=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(fn())
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_sumcheck_round(n_log2=20):
+    """One fused sumcheck prover round (half-sums + fold) at 2^n."""
+    from tpu_zk.fields.arith import field_ctx
+    from tpu_zk.poly.multilinear import fold, sum_halves
+
+    ctx = field_ctx("bn254_fr")
+    n = 1 << n_log2
+
+    @jax.jit
+    def rnd(table, r):
+        return sum_halves(ctx, table), fold(ctx, table, 0, r)
+
+    # build a deterministic table without 2^20 python conversions
+    import numpy as np
+    import jax.numpy as jnp
+
+    base = np.arange(n, dtype=np.uint32) % 65521
+    limbs = np.zeros((n, ctx.L), np.uint32)
+    limbs[:, 0] = base  # small canonical values (valid Montgomery residues)
+    table = jnp.asarray(limbs)
+    r = ctx.scalar(123456789)
+
+    dt = timeit(lambda: rnd(table, r))
+    log(f"sumcheck round 2^{n_log2}: {dt*1e3:.1f} ms ({n/dt/1e6:.1f} M elem/s)")
+    return {"sumcheck_round_s": dt, "sumcheck_elems_per_s": n / dt, "n_log2": n_log2}
+
+
+def bench_full_sumcheck(n_log2=18):
+    """Full prove (device rounds + host Fiat-Shamir) at 2^n."""
+    from tpu_zk.fields.arith import field_ctx
+    from tpu_zk.poly.multilinear import MultilinearPolynomial
+    from tpu_zk.sumcheck import basic
+
+    ctx = field_ctx("bn254_fr")
+    n = 1 << n_log2
+    import numpy as np
+    import jax.numpy as jnp
+
+    limbs = np.zeros((n, ctx.L), np.uint32)
+    limbs[:, 0] = np.arange(n, dtype=np.uint32) % 65521
+    poly = MultilinearPolynomial(ctx, jnp.asarray(limbs))
+
+    def run():
+        return basic.Prover(poly).prove()
+
+    run()  # warmup/compile
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    log(f"full sumcheck prove 2^{n_log2}: {dt:.2f} s ({n_log2/dt:.2f} rounds/s)")
+    return {"full_prove_s": dt, "rounds_per_s": n_log2 / dt, "n_log2": n_log2}
+
+
+def bench_msm(n_log2=14, curve="bls12_381"):
+    from tpu_zk.curves.ec_device import DeviceCurve, msm
+
+    dc = DeviceCurve(curve)
+    hc = dc.host
+    g = hc.g1_affine(hc.g1_generator())
+    n = 1 << n_log2
+    P = dc.points_to_device([g] * n)
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_zk.curves.ec_device import scalar_bits
+
+    limbs = np.zeros((n, dc.fr.L), np.uint32)
+    rng = np.random.default_rng(0)
+    limbs[:, :] = rng.integers(0, 1 << 16, size=(n, dc.fr.L), dtype=np.uint32)
+    limbs[:, -1] &= 0x3FF  # keep < p
+    bits = scalar_bits(dc.fr, jnp.asarray(limbs))
+
+    dt = timeit(lambda: msm(dc.ctx, dc.b3, P, bits), warmup=1, iters=1)
+    log(f"msm 2^{n_log2} ({curve}): {dt:.2f} s ({n/dt:.0f} points/s)")
+    return {"msm_s": dt, "msm_points_per_s": n / dt, "n_log2": n_log2, "curve": curve}
+
+
+def bench_ntt(n_log2=20):
+    from tpu_zk.fields.arith import field_ctx
+    from tpu_zk.ntt.ntt import NTT
+
+    ctx = field_ctx("bn254_fr")
+    ntt = NTT("bn254_fr", n_log2)
+    n = 1 << n_log2
+    import numpy as np
+    import jax.numpy as jnp
+
+    limbs = np.zeros((n, ctx.L), np.uint32)
+    limbs[:, 0] = np.arange(n, dtype=np.uint32) % 65521
+    table = jnp.asarray(limbs)
+
+    dt_f = timeit(lambda: ntt.forward(table))
+    log(f"ntt fwd 2^{n_log2}: {dt_f*1e3:.1f} ms ({n/dt_f/1e6:.1f} M elem/s)")
+    return {"ntt_forward_s": dt_f, "ntt_elems_per_s": n / dt_f, "n_log2": n_log2}
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    results = {"platform": str(jax.devices()[0])}
+    results["sumcheck_round"] = bench_sumcheck_round()
+    results["full_sumcheck"] = bench_full_sumcheck()
+    results["ntt"] = bench_ntt()
+    results["msm"] = bench_msm()
+
+    prev = None
+    if os.path.exists(RESULTS_PATH):
+        try:
+            with open(RESULTS_PATH) as f:
+                prev = json.load(f)
+        except Exception:
+            prev = None
+
+    primary = results["sumcheck_round"]["sumcheck_elems_per_s"]
+    vs = 1.0
+    if prev and "sumcheck_round" in prev:
+        old = prev["sumcheck_round"].get("sumcheck_elems_per_s")
+        if old:
+            vs = primary / old
+
+    os.makedirs(os.path.dirname(RESULTS_PATH), exist_ok=True)
+    with open(RESULTS_PATH, "w") as f:
+        json.dump(results, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sumcheck_round_throughput_2^20",
+                "value": round(primary / 1e6, 3),
+                "unit": "M elements/s per chip",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+#!/bin/sh
+# Build the native helpers next to this script.
+set -e
+cd "$(dirname "$0")"
+${CXX:-g++} -O3 -shared -fPIC -march=native -o libkeccak.so keccak.cpp
+echo "built $(pwd)/libkeccak.so"

@@ -14,7 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import random
 
+import jax
 import pytest
+
+# sitecustomize (axon.register) overrides JAX_PLATFORMS with "axon,cpu";
+# force the virtual 8-device CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture

