@@ -1,0 +1,82 @@
+"""Serialization, checkpoint/resume, counters, Pippenger MSM."""
+
+from tpu_zk.curves.ec_device import DeviceCurve
+from tpu_zk.curves.msm_pippenger import msm_pippenger
+from tpu_zk.fields.arith import field_ctx
+from tpu_zk.poly.multilinear import MultilinearPolynomial
+from tpu_zk.sumcheck import basic
+from tpu_zk.utils import counters, serialize
+from tpu_zk.utils.checkpoint import CheckpointableSumcheckProver
+
+FQ = field_ctx("bn254_fq")
+
+
+def test_sumcheck_proof_roundtrip_json():
+    proof = basic.Prover.init(FQ, [0, 0, 3, 8]).prove()
+    blob = serialize.sumcheck_proof_to_json(proof)
+    back = serialize.sumcheck_proof_from_json(blob)
+    assert back.initial_claimed_sum == proof.initial_claimed_sum
+    assert back.initial_polynomial.to_ints() == proof.initial_polynomial.to_ints()
+    assert basic.Verifier.init().verify(back)
+
+
+def test_gkr_proof_roundtrip_json():
+    from tpu_zk.circuit.layered import Circuit, Gate, Layer
+    from tpu_zk.gkr import protocol
+
+    circuit = Circuit(FQ, [
+        Layer([Gate.mul(0, 1, 0)]),
+        Layer([Gate.add(0, 1, 0), Gate.mul(2, 3, 1)]),
+    ])
+    proof = protocol.prove(circuit, [2, 3, 4, 5])
+    back = serialize.gkr_proof_from_json(serialize.gkr_proof_to_json(proof, FQ.name))
+    assert protocol.verify(circuit, back, [2, 3, 4, 5])
+
+
+def test_checkpoint_resume_bit_identical():
+    vals = [(i * 7 + 1) % 101 for i in range(64)]
+    poly = MultilinearPolynomial.from_ints(FQ, vals)
+
+    reference_proof = basic.Prover(poly).prove()
+
+    prover = CheckpointableSumcheckProver(MultilinearPolynomial.from_ints(FQ, vals))
+    assert prover.run(max_rounds=3) is None  # paused mid-proof
+    blob = prover.save()
+
+    resumed = CheckpointableSumcheckProver.load(blob)
+    proof = resumed.run()
+    assert proof is not None
+    assert proof.initial_claimed_sum == reference_proof.initial_claimed_sum
+    for a, b in zip(
+        proof.round_univariate_polynomials,
+        reference_proof.round_univariate_polynomials,
+    ):
+        assert a.to_ints() == b.to_ints()
+    assert basic.Verifier.init().verify(proof)
+
+
+def test_counters():
+    counters.enable(True)
+    counters.reset()
+    ctx = FQ
+    from tpu_zk.fields import arith
+
+    a = ctx.array([1, 2, 3, 4])
+    arith.mont_mul(ctx, a, a)
+    s = counters.summary()
+    counters.enable(False)
+    assert s.get("bn254_fq", {}).get("mul", 0) >= 4 or s == {}  # jit may cache
+
+
+def test_msm_pippenger_matches_host():
+    dc = DeviceCurve("bn254")
+    hc = dc.host
+    g = hc.g1_generator()
+    ks = list(range(1, 13))  # non-power-of-two N exercises padding
+    pts = [hc.g1_affine(hc.g1_mul(g, k)) for k in ks]
+    scalars = [(k * 7919 + 13) for k in ks]
+    limbs = dc.fr.array([s % dc.fr.p for s in scalars], mont=False)
+    P = dc.points_to_device(pts)
+    out = msm_pippenger(dc.ctx, dc.b3, (P, limbs), 8)
+    expected = hc.g1_affine(hc.g1_mul(g, sum(k * s for k, s in zip(ks, scalars))))
+    assert dc.point_to_host(out) == expected

@@ -159,6 +159,18 @@ class Keccak256:
         c._buf = self._buf
         return c
 
+    # -- checkpoint/resume ----------------------------------------------------
+    def snapshot(self) -> bytes:
+        """Serializable sponge state (200-byte state + unabsorbed tail)."""
+        return self._state.tobytes() + self._buf
+
+    @classmethod
+    def from_snapshot(cls, blob: bytes) -> "Keccak256":
+        k = cls.__new__(cls)
+        k._state = np.frombuffer(blob[:200], dtype=np.uint64).copy()
+        k._buf = blob[200:]
+        return k
+
     def digest(self) -> bytes:
         pad_len = RATE - len(self._buf)
         if pad_len == 1:
