@@ -19,6 +19,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 
 from ..curves.ec_device import msm, scalar_bits
+from ..curves.msm_pippenger import msm_pippenger
 from ..curves.host_ec import ec_neg
 from ..curves.pairing import pairing_product_is_one
 from ..fields import arith
@@ -42,8 +43,7 @@ def commit_to_polynomial(
         "Polynomial evaluation must match g1 length"
     )
     plain = arith.from_mont(fr, polynomial.table)
-    bits = scalar_bits(fr, plain)
-    point = msm(dc.ctx, dc.b3, trusted_setup.g1_powers_of_tau, bits)
+    point = msm_pippenger(dc.ctx, dc.b3, (trusted_setup.g1_powers_of_tau, plain))
     return dc.point_to_host(point)
 
 
@@ -75,8 +75,9 @@ def open_and_prove(
         quotient = arith.sub(fr, sub_table[half:], sub_table[:half])
         # blow up: duplicate the whole vector 2^(i+1) times to full length N
         blown = jnp.tile(quotient, (N // quotient.shape[0], 1))
-        bits = scalar_bits(fr, arith.from_mont(fr, blown))
-        proof_point = msm(dc.ctx, dc.b3, trusted_setup.g1_powers_of_tau, bits)
+        proof_point = msm_pippenger(
+            dc.ctx, dc.b3, (trusted_setup.g1_powers_of_tau, arith.from_mont(fr, blown))
+        )
         proofs.append(dc.point_to_host(proof_point))
         # remainder: fold the first variable at the opening value
         from ..poly.multilinear import fold
