@@ -23,12 +23,24 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def force(out):
+    """Force execution + materialization with a tiny transfer.
+
+    ``block_until_ready`` is not reliable through the remote-TPU tunnel, so
+    reduce each output on-device and pull the scalar."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(jnp.sum(leaf, dtype=jnp.uint32))
+
+
 def timeit(fn, warmup=1, iters=3):
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        force(fn())
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(fn())
+        force(fn())
     return (time.perf_counter() - t0) / iters
 
 
@@ -85,8 +97,9 @@ def bench_full_sumcheck(n_log2=18):
     return {"full_prove_s": dt, "rounds_per_s": n_log2 / dt, "n_log2": n_log2}
 
 
-def bench_msm(n_log2=14, curve="bls12_381"):
-    from tpu_zk.curves.ec_device import DeviceCurve, msm
+def bench_msm(n_log2=16, curve="bls12_381"):
+    from tpu_zk.curves.ec_device import DeviceCurve
+    from tpu_zk.curves.msm_pippenger import msm_pippenger
 
     dc = DeviceCurve(curve)
     hc = dc.host
@@ -95,15 +108,13 @@ def bench_msm(n_log2=14, curve="bls12_381"):
     P = dc.points_to_device([g] * n)
     import numpy as np
     import jax.numpy as jnp
-    from tpu_zk.curves.ec_device import scalar_bits
 
-    limbs = np.zeros((n, dc.fr.L), np.uint32)
     rng = np.random.default_rng(0)
-    limbs[:, :] = rng.integers(0, 1 << 16, size=(n, dc.fr.L), dtype=np.uint32)
+    limbs = rng.integers(0, 1 << 16, size=(n, dc.fr.L), dtype=np.uint32)
     limbs[:, -1] &= 0x3FF  # keep < p
-    bits = scalar_bits(dc.fr, jnp.asarray(limbs))
+    limbs = jnp.asarray(limbs)
 
-    dt = timeit(lambda: msm(dc.ctx, dc.b3, P, bits), warmup=1, iters=1)
+    dt = timeit(lambda: msm_pippenger(dc.ctx, dc.b3, (P, limbs)), warmup=1, iters=1)
     log(f"msm 2^{n_log2} ({curve}): {dt:.2f} s ({n/dt:.0f} points/s)")
     return {"msm_s": dt, "msm_points_per_s": n / dt, "n_log2": n_log2, "curve": curve}
 

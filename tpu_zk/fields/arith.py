@@ -262,6 +262,25 @@ def mont_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     L = ctx.L
     a, b = jnp.broadcast_arrays(a, b)
     shape = a.shape[:-1]
+
+    # TPU hot path: VMEM-resident Pallas kernel (~10x the XLA-graph loop,
+    # which spills every loop intermediate to HBM)
+    import math
+
+    M = math.prod(shape) if shape else 1
+    if jax.default_backend() == "tpu" and M >= 2048:
+        from .pallas_kernels import mont_mul_pallas
+
+        block = 1024
+        flat_a = a.reshape(M, L)
+        flat_b = b.reshape(M, L)
+        pad = (-M) % block
+        if pad:
+            flat_a = jnp.concatenate([flat_a, jnp.zeros((pad, L), jnp.uint32)])
+            flat_b = jnp.concatenate([flat_b, jnp.zeros((pad, L), jnp.uint32)])
+        out = mont_mul_pallas(ctx, flat_a, flat_b, block)
+        return out[:M].reshape(a.shape)
+
     n = jnp.asarray(ctx.p_limbs)
     n0inv = np.uint32(ctx.n0inv)
     zero2 = jnp.zeros(shape + (2,), jnp.uint32)
@@ -325,6 +344,13 @@ def to_mont(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def from_mont(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    import math
+
+    M = math.prod(a.shape[:-1]) if a.ndim > 1 else 1
+    if jax.default_backend() == "tpu" and M >= 2048:
+        # a * 1 * R^-1 = plain form; routes through the Pallas kernel
+        one_plain = jnp.zeros((ctx.L,), jnp.uint32).at[0].set(1)
+        return mont_mul(ctx, a, one_plain)
     return redc_wide(ctx, a)
 
 

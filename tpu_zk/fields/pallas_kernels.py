@@ -1,0 +1,123 @@
+"""Pallas TPU kernels for the field hot loops.
+
+Why: the XLA-graph Montgomery multiply materializes every loop intermediate
+to HBM (~300 passes over the table, 42 ms at 2^20 on v5e); these kernels
+keep the entire CIOS loop in VMEM so a multiply costs ~3 HBM passes (read
+a, read b, write out) -- the memory-bound speed of light.
+
+In-kernel layout is limb-major ([L, BN] tiles): the element axis rides the
+128-wide lane dimension at full utilization while limb shifts become cheap
+sublane moves.  Blocks arrive limb-minor ([BN, L]) matching the framework
+layout and are transposed on load/store inside VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .arith import BASE, LIMB_BITS, MASK, FieldCtx, _limbs_of_int
+
+DEFAULT_BLOCK = 1024
+
+
+def _propagate_rows(t: jnp.ndarray, out_rows: int) -> jnp.ndarray:
+    """Carry-propagate along axis 0 (limb-major): lazy [W, BN] -> strict."""
+    W = t.shape[0]
+    BN = t.shape[1]
+    if out_rows > W:
+        t = jnp.concatenate([t, jnp.zeros((out_rows - W, BN), jnp.uint32)], 0)
+
+    def shift_up(x, k=1):
+        return jnp.concatenate([jnp.zeros((k, BN), jnp.uint32), x[:-k]], 0)
+
+    for _ in range(2):
+        t = (t & MASK) + shift_up(t >> LIMB_BITS)
+    g = t >> LIMB_BITS
+    r = t & MASK
+    p = (r == MASK).astype(jnp.uint32)
+    d = 1
+    while d < out_rows:
+        g = g | (p & shift_up(g, d))
+        p = p & shift_up(p, d)
+        d *= 2
+    return (r + shift_up(g, 1)) & MASK
+
+
+def _cond_sub_rows(t: jnp.ndarray, comp_col: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Subtract p if value >= p.  t: strict [W, BN]; comp_col = (B^W - p) [W, 1]."""
+    W = t.shape[0]
+    d = _propagate_rows(t + comp_col, W + 1)
+    ge = d[W] != 0
+    return jnp.where(ge[None, :], d[:W], t)[:L]
+
+
+def _mont_mul_rows(ctx: FieldCtx, at: jnp.ndarray, bt: jnp.ndarray, consts: jnp.ndarray) -> jnp.ndarray:
+    """CIOS on limb-major tiles: [L, BN] x [L, BN] -> [L, BN].
+
+    consts: [2, L+1] -- row 0 = p limbs (padded), row 1 = B^(L+1) - p.
+    """
+    L = ctx.L
+    BN = at.shape[1]
+    n = consts[0, :L][:, None]  # [L, 1]
+    n0inv = np.uint32(ctx.n0inv)
+    zero_row = jnp.zeros((1, BN), jnp.uint32)
+    t = jnp.zeros((L + 2, BN), jnp.uint32)
+    for i in range(L):
+        p_full = at[i][None, :] * bt  # [L, BN], exact u32
+        t = t + jnp.concatenate([p_full & MASK, zero_row, zero_row], 0)
+        t = t + jnp.concatenate([zero_row, p_full >> LIMB_BITS, zero_row], 0)
+        m = (t[0] * n0inv) & MASK
+        q = m[None, :] * n
+        t = t + jnp.concatenate([q & MASK, zero_row, zero_row], 0)
+        t = t + jnp.concatenate([zero_row, q >> LIMB_BITS, zero_row], 0)
+        carry = t[0] >> LIMB_BITS
+        t = jnp.concatenate([(t[1] + carry)[None, :], t[2:], zero_row], 0)
+    strict = _propagate_rows(t[: L + 1], L + 1)
+    return _cond_sub_rows(strict, consts[1][:, None], L)
+
+
+def _mont_mul_kernel(ctx: FieldCtx, a_ref, b_ref, c_ref, o_ref):
+    at = a_ref[:].T  # [L, BN]
+    bt = b_ref[:].T
+    o_ref[:] = _mont_mul_rows(ctx, at, bt, c_ref[:]).T
+
+
+@functools.lru_cache(maxsize=None)
+def _consts_for(name: str) -> np.ndarray:
+    from .arith import _comp_limbs, field_ctx
+
+    ctx = field_ctx(name)
+    L = ctx.L
+    out = np.zeros((2, L + 1), np.uint32)
+    out[0, :L] = ctx.p_limbs
+    out[1] = _comp_limbs(ctx.p, L + 1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def mont_mul_pallas(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, block: int = DEFAULT_BLOCK) -> jnp.ndarray:
+    """Montgomery product via a VMEM-resident Pallas kernel.
+
+    a, b: [N, L] canonical; N must be a multiple of ``block`` (caller pads).
+    """
+    N, L = a.shape
+    grid = (N // block,)
+    consts = jnp.asarray(_consts_for(ctx.name))
+    return pl.pallas_call(
+        functools.partial(_mont_mul_kernel, ctx),
+        out_shape=jax.ShapeDtypeStruct((N, L), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(a, b, consts)

@@ -51,6 +51,26 @@ def sum_halves(ctx: FieldCtx, table: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def round0_univariate(ctx: FieldCtx, table: jnp.ndarray) -> jnp.ndarray:
+    """First sumcheck round: half-sums in *plain* form, one device program."""
+    return arith.from_mont(ctx, sum_halves(ctx, table))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def fused_round(ctx: FieldCtx, table: jnp.ndarray, r: jnp.ndarray):
+    """One sumcheck round in ONE device program: fold the previous challenge,
+    then produce the next round univariate (plain form, ready to serialize).
+
+    Host<->device round trips dominate protocol latency (one Fiat-Shamir sync
+    per round is inherent); fusing fold + half-sums + Montgomery-demotion
+    keeps it to a single program dispatch per round.
+    """
+    folded = fold(ctx, table, 0, r)
+    univ_plain = arith.from_mont(ctx, sum_halves(ctx, folded))
+    return univ_plain, folded
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def tensor_add(ctx: FieldCtx, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """Outer sum: out[i*Nc + j] = b[i] + c[j] (evaluation_form.rs:108-124)."""
     out = arith.add(ctx, b[:, None, :], c[None, :, :])

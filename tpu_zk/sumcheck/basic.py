@@ -18,7 +18,14 @@ from dataclasses import dataclass
 
 from ..fields import arith
 from ..fields.arith import FieldCtx
-from ..poly.multilinear import MultilinearPolynomial, fold, sum_halves
+from ..poly.multilinear import (
+    MultilinearPolynomial,
+    fold,
+    fused_round,
+    limbs_to_bytes_be,
+    round0_univariate,
+    sum_halves,
+)
 from ..transcript.fiat_shamir import Transcript
 
 
@@ -45,14 +52,20 @@ class Prover:
         self.transcript.append(self.initial_polynomial.convert_to_bytes())
         self.transcript.append(ctx.to_bytes_be(self.initial_claimed_sum))
 
+        # one fused device program per round (fold prev challenge + half-sums
+        # + Montgomery demotion); the final fold is skipped -- the reference
+        # computes it too but its result never reaches proof or transcript
         current = self.initial_polynomial.table
+        n = self.initial_polynomial.number_of_variables
         round_polys = []
-        for _ in range(self.initial_polynomial.number_of_variables):
-            univariate = MultilinearPolynomial(ctx, sum_halves(ctx, current))
-            round_polys.append(univariate)
-            self.transcript.append(univariate.convert_to_bytes())
+        univ_plain = round0_univariate(ctx, current)
+        for rnd in range(n):
+            u0, u1 = ctx.to_ints(univ_plain, mont=False)
+            round_polys.append(MultilinearPolynomial.from_ints(ctx, [u0, u1]))
+            self.transcript.append(limbs_to_bytes_be(ctx, univ_plain))
             challenge = self.transcript.random_challenge_as_field_element(ctx)
-            current = fold(ctx, current, 0, ctx.scalar(challenge))
+            if rnd < n - 1:
+                univ_plain, current = fused_round(ctx, current, ctx.scalar(challenge))
 
         return SumcheckProof(
             initial_polynomial=self.initial_polynomial,

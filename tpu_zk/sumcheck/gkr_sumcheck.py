@@ -13,7 +13,11 @@ univariate_to_bytes LE :145-150, field_element_to_bytes BE :152-154).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
 
 from ..fields import arith
 from ..fields.arith import FieldCtx
@@ -37,19 +41,34 @@ class SumcheckVerifierProof:
     last_claimed_sum: int
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _round_evals(ctx: FieldCtx, stacked: jnp.ndarray) -> jnp.ndarray:
+    """[p, k, N, L] -> [degree+1, L] plain-form round-univariate evaluations
+    (folds at t = 0..degree batched into one device program)."""
+    degree = stacked.shape[1]
+    outs = []
+    for t in range(degree + 1):
+        folded = fold(ctx, stacked, 0, ctx.scalar(t))
+        collapsed = collapse_sum_of_products(ctx, folded)
+        outs.append(arith.sum_mod(ctx, collapsed))
+    return arith.from_mont(ctx, jnp.stack(outs))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fused_round(ctx: FieldCtx, stacked: jnp.ndarray, r: jnp.ndarray):
+    """Fold the previous challenge + produce the next round's evaluations in
+    ONE device program (host round trips dominate protocol latency)."""
+    folded = fold(ctx, stacked, 0, r)
+    return _round_evals(ctx, folded), folded
+
+
 def generate_round_univariate(sum_polynomial: SumPolynomial) -> list[int]:
     """Evaluations of the round univariate at t = 0..degree (canonical ints).
 
     Mirrors sumcheck_gkr_protocol.rs:113-143.
     """
     ctx = sum_polynomial.ctx
-    degree = sum_polynomial.degree
-    evaluations = []
-    for t in range(degree + 1):
-        folded = fold(ctx, sum_polynomial.stacked, 0, ctx.scalar(t))
-        collapsed = collapse_sum_of_products(ctx, folded)
-        evaluations.append(ctx.to_ints(arith.sum_mod(ctx, collapsed)))
-    return evaluations
+    return ctx.to_ints(_round_evals(ctx, sum_polynomial.stacked), mont=False)
 
 
 def prove(
@@ -61,20 +80,22 @@ def prove(
 
     round_polys: list[DenseUnivariatePolynomial] = []
     random_challenges: list[int] = []
-    current = sum_polynomial
+    current = sum_polynomial.stacked
 
     transcript.append(ctx.to_bytes_be(claimed_sum))
 
     x_values = list(range(degree + 1))
-    for _ in range(number_of_variables):
-        evaluations = generate_round_univariate(current)
+    evals_plain = _round_evals(ctx, current)
+    for rnd in range(number_of_variables):
+        evaluations = ctx.to_ints(evals_plain, mont=False)
         univariate = DenseUnivariatePolynomial.lagrange_interpolate(ctx, x_values, evaluations)
         transcript.append(univariate.to_bytes_le())
         round_polys.append(univariate)
 
         r = transcript.random_challenge_as_field_element(ctx)
-        current = current.partial_evaluate(0, r)
         random_challenges.append(r)
+        if rnd < number_of_variables - 1:
+            evals_plain, current = _fused_round(ctx, current, ctx.scalar(r))
 
     return SumcheckProverProof(
         claimed_sum=claimed_sum,
