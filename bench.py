@@ -16,6 +16,10 @@ import time
 
 import jax
 
+from tpu_zk.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 RESULTS_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "results.json")
 
 

@@ -47,16 +47,18 @@ class Prover:
     def init(cls, ctx: FieldCtx, values) -> "Prover":
         return cls(MultilinearPolynomial.from_ints(ctx, values))
 
-    def prove(self) -> SumcheckProof:
+    def prove(self, fused: bool = True) -> SumcheckProof:
         ctx = self.ctx
         self.transcript.append(self.initial_polynomial.convert_to_bytes())
         self.transcript.append(ctx.to_bytes_be(self.initial_claimed_sum))
 
-        # one fused device program per round (fold prev challenge + half-sums
-        # + Montgomery demotion); the final fold is skipped -- the reference
-        # computes it too but its result never reaches proof or transcript
-        current = self.initial_polynomial.table
         n = self.initial_polynomial.number_of_variables
+        if fused:
+            return self._prove_fused(n)
+
+        # unfused fallback: one device program + one host Fiat-Shamir sync per
+        # round (the reference's execution shape; kept for pedagogy/tests)
+        current = self.initial_polynomial.table
         round_polys = []
         univ_plain = round0_univariate(ctx, current)
         for rnd in range(n):
@@ -67,6 +69,34 @@ class Prover:
             if rnd < n - 1:
                 univ_plain, current = fused_round(ctx, current, ctx.scalar(challenge))
 
+        return SumcheckProof(
+            initial_polynomial=self.initial_polynomial,
+            initial_claimed_sum=self.initial_claimed_sum,
+            round_univariate_polynomials=round_polys,
+        )
+
+    def _prove_fused(self, n: int) -> SumcheckProof:
+        """All rounds + Fiat-Shamir in ONE device dispatch (sumcheck/fused.py)."""
+        import jax
+        import numpy as np
+
+        from ..transcript.device_fs import DeviceSponge
+        from .fused import final_pos, fused_basic_prove
+
+        ctx = self.ctx
+        sponge = DeviceSponge.from_host(self.transcript._hasher)
+        univs_plain, univs_mont, _digests, state, buf = fused_basic_prove(
+            ctx, self.initial_polynomial.table, sponge.state, sponge.buf, sponge.pos
+        )
+        # round polys wrap device slices of the Montgomery stack -- no
+        # per-round host transfers
+        round_polys = [MultilinearPolynomial(ctx, univs_mont[i]) for i in range(n)]
+        # re-sync the host transcript from the returned sponge state
+        pos = final_pos(sponge.pos, n, 2 * ctx.nbytes)
+        state_np, buf_np = jax.device_get((state, buf))
+        self.transcript._hasher = DeviceSponge(None, None, pos).to_host(
+            np.asarray(state_np), np.asarray(buf_np)
+        )
         return SumcheckProof(
             initial_polynomial=self.initial_polynomial,
             initial_claimed_sum=self.initial_claimed_sum,
@@ -92,12 +122,19 @@ class Verifier:
         self.transcript.append(proof.initial_polynomial.convert_to_bytes())
         self.transcript.append(ctx.to_bytes_be(proof.initial_claimed_sum))
 
+        # one batched transfer for every round univariate (vs one blocking
+        # device_get per round -- the tunnel costs ~35 ms per round trip)
+        import jax.numpy as jnp
+
+        stacked = jnp.stack([u.table for u in proof.round_univariate_polynomials])
+        all_ints = ctx.to_ints(stacked)
+        pairs = [all_ints[2 * i : 2 * i + 2] for i in range(len(all_ints) // 2)]
+
         challenges = []
-        for univariate in proof.round_univariate_polynomials:
-            u0, u1 = univariate.to_ints()
+        for univariate, (u0, u1) in zip(proof.round_univariate_polynomials, pairs):
             if (u0 + u1) % p != current_claim:
                 return False
-            self.transcript.append(univariate.convert_to_bytes())
+            self.transcript.append(ctx.to_bytes_be(u0) + ctx.to_bytes_be(u1))
             r = self.transcript.random_challenge_as_field_element(ctx)
             challenges.append(r)
             # evaluate the 2-point eval-form univariate at r: u0 + r*(u1-u0)
