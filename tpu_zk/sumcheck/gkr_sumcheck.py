@@ -72,17 +72,22 @@ def generate_round_univariate(sum_polynomial: SumPolynomial) -> list[int]:
 
 
 def prove(
-    sum_polynomial: SumPolynomial, claimed_sum: int, transcript: Transcript
+    sum_polynomial: SumPolynomial, claimed_sum: int, transcript: Transcript, fused: bool = True
 ) -> SumcheckProverProof:
     ctx = sum_polynomial.ctx
     number_of_variables = sum_polynomial.number_of_variables
     degree = sum_polynomial.degree
 
+    transcript.append(ctx.to_bytes_be(claimed_sum))
+
+    if fused:
+        return _prove_fused(sum_polynomial, claimed_sum, transcript)
+
+    # unfused fallback: one device program + one host Fiat-Shamir sync per
+    # round (the reference's execution shape; kept for pedagogy/tests)
     round_polys: list[DenseUnivariatePolynomial] = []
     random_challenges: list[int] = []
     current = sum_polynomial.stacked
-
-    transcript.append(ctx.to_bytes_be(claimed_sum))
 
     x_values = list(range(degree + 1))
     evals_plain = _round_evals(ctx, current)
@@ -97,6 +102,46 @@ def prove(
         if rnd < number_of_variables - 1:
             evals_plain, current = _fused_round(ctx, current, ctx.scalar(r))
 
+    return SumcheckProverProof(
+        claimed_sum=claimed_sum,
+        round_univariate_polynomials=round_polys,
+        random_challenges=random_challenges,
+    )
+
+
+def _prove_fused(
+    sum_polynomial: SumPolynomial, claimed_sum: int, transcript: Transcript
+) -> SumcheckProverProof:
+    """All rounds + Fiat-Shamir in ONE device dispatch (sumcheck/fused.py);
+    bit-identical transcript bytes to the unfused path."""
+    import numpy as np
+
+    from ..transcript.device_fs import DeviceSponge
+    from .fused import final_pos, fused_gkr_sumcheck_prove
+
+    ctx = sum_polynomial.ctx
+    n = sum_polynomial.number_of_variables
+    degree = sum_polynomial.degree
+
+    sponge = DeviceSponge.from_host(transcript._hasher)
+    coeffs_plain, digests, state, buf = fused_gkr_sumcheck_prove(
+        ctx, sum_polynomial.stacked, sponge.state, sponge.buf, sponge.pos
+    )
+    coeffs_np, digests_np, state_np, buf_np = jax.device_get(
+        (coeffs_plain, digests, state, buf)
+    )
+    flat = ctx.to_ints(coeffs_np.reshape(-1, ctx.L), mont=False)
+    width = degree + 1
+    round_polys = [
+        DenseUnivariatePolynomial(ctx, flat[i * width : (i + 1) * width]) for i in range(n)
+    ]
+    random_challenges = [
+        ctx.from_le_bytes_mod_order(bytes(d.astype(np.uint8).tobytes())) for d in digests_np
+    ]
+    pos = final_pos(sponge.pos, n, width * ctx.nbytes)
+    transcript._hasher = DeviceSponge(None, None, pos).to_host(
+        np.asarray(state_np), np.asarray(buf_np)
+    )
     return SumcheckProverProof(
         claimed_sum=claimed_sum,
         round_univariate_polynomials=round_polys,
