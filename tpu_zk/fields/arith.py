@@ -214,9 +214,36 @@ def cond_sub_p(ctx: FieldCtx, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ge, d[..., :W], t)[..., : ctx.L]
 
 
+def _addsub_tpu_path(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, kind: str):
+    """Route large elementwise add/sub through the Pallas kernel (one HBM
+    pass; the XLA carry-propagation graph costs ~2.5x a Montgomery mul)."""
+    import math
+
+    a, b = jnp.broadcast_arrays(a, b)
+    shape = a.shape[:-1]
+    M = math.prod(shape) if shape else 1
+    if jax.default_backend() != "tpu" or M < 2048:
+        return None
+    from .pallas_kernels import addsub_pallas
+
+    block = 1024
+    L = ctx.L
+    flat_a = a.reshape(M, L)
+    flat_b = b.reshape(M, L)
+    pad = (-M) % block
+    if pad:
+        flat_a = jnp.concatenate([flat_a, jnp.zeros((pad, L), jnp.uint32)])
+        flat_b = jnp.concatenate([flat_b, jnp.zeros((pad, L), jnp.uint32)])
+    out = addsub_pallas(ctx, flat_a, flat_b, kind, block)
+    return out[:M].reshape(a.shape)
+
+
 def add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Modular add of canonical elements [..., L]."""
     counters.bump(ctx.name, "add", a, b)
+    fast = _addsub_tpu_path(ctx, a, b, "add")
+    if fast is not None:
+        return fast
     s = carry_propagate(a + b, ctx.L + 1)
     return cond_sub_p(ctx, s)
 
@@ -224,6 +251,9 @@ def add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Modular sub of canonical elements [..., L]: a - b + p, then reduce."""
     counters.bump(ctx.name, "sub", a, b)
+    fast = _addsub_tpu_path(ctx, a, b, "sub")
+    if fast is not None:
+        return fast
     comp_b = MASK - b  # + 1 at limb 0 completes B^L - b
     t = a + jnp.asarray(ctx.p_limbs) + comp_b
     t = t.at[..., 0].add(1)
@@ -379,6 +409,13 @@ def sum_mod(ctx: FieldCtx, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     else:
         lazy = jnp.sum(a, axis=0, dtype=jnp.uint32)  # limbs < 2^31
         wide = carry_propagate(lazy, ctx.L + 2)
+    plain = redc_wide(ctx, wide)  # (sum)*R * R^-1 = sum, plain form
+    return mont_mul(ctx, plain, jnp.asarray(_limbs_of_int(ctx.R2, ctx.L)))
+
+
+def reduce_wide_to_mont(ctx: FieldCtx, wide: jnp.ndarray) -> jnp.ndarray:
+    """Strict wide limbs [..., W] holding a sum of Montgomery residues
+    (value < R*p) -> canonical Montgomery element [..., L]."""
     plain = redc_wide(ctx, wide)  # (sum)*R * R^-1 = sum, plain form
     return mont_mul(ctx, plain, jnp.asarray(_limbs_of_int(ctx.R2, ctx.L)))
 

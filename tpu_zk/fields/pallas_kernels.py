@@ -94,10 +94,29 @@ def _consts_for(name: str) -> np.ndarray:
 
     ctx = field_ctx(name)
     L = ctx.L
-    out = np.zeros((2, L + 1), np.uint32)
+    out = np.zeros((3, L + 1), np.uint32)
     out[0, :L] = ctx.p_limbs
     out[1] = _comp_limbs(ctx.p, L + 1)
+    out[2, :L] = _comp_limbs(ctx.p, L)
     return out
+
+
+def _add_rows(ctx: FieldCtx, at: jnp.ndarray, bt: jnp.ndarray, consts: jnp.ndarray) -> jnp.ndarray:
+    """Modular add on limb-major strict canonical tiles [L, BN]."""
+    strict = _propagate_rows(at + bt, ctx.L + 1)
+    return _cond_sub_rows(strict, consts[1][:, None], ctx.L)
+
+
+def _sub_rows(ctx: FieldCtx, at: jnp.ndarray, bt: jnp.ndarray, consts: jnp.ndarray) -> jnp.ndarray:
+    """Modular sub on limb-major strict canonical tiles: a - b + p, reduce."""
+    L = ctx.L
+    p_col = consts[0, :L][:, None]
+    t = at + (MASK - bt) + p_col  # rows < 3*2^16, lazy-safe
+    t = jnp.concatenate([t[:1] + 1, t[1:]], 0)  # completes B^L - b
+    # value = a - b + p + B^L with a-b+p in (0, 2p) and 2p < B^L: the B^L bit
+    # lands in row L after propagation, low L rows are exactly a - b + p
+    strict = _propagate_rows(t, L + 1)[:L]
+    return _cond_sub_rows(strict, consts[2, :L][:, None], L)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -116,8 +135,100 @@ def mont_mul_pallas(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, block: int = 
         in_specs=[
             pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
     )(a, b, consts)
+
+
+# ---------------------------------------------------------------------------
+# standalone modular add / sub (one HBM pass instead of the multi-pass
+# XLA carry-propagation graph, which costs 2.5x a full Montgomery multiply)
+# ---------------------------------------------------------------------------
+
+
+def _addsub_kernel(ctx: FieldCtx, op, a_ref, b_ref, c_ref, o_ref):
+    rows = op(ctx, a_ref[:].T, b_ref[:].T, c_ref[:])
+    o_ref[:] = rows.T
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def addsub_pallas(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, kind: str, block: int = DEFAULT_BLOCK) -> jnp.ndarray:
+    """Elementwise modular add/sub: a, b [N, L] canonical, N % block == 0."""
+    N, L = a.shape
+    op = _add_rows if kind == "add" else _sub_rows
+    consts = jnp.asarray(_consts_for(ctx.name))
+    return pl.pallas_call(
+        functools.partial(_addsub_kernel, ctx, op),
+        out_shape=jax.ShapeDtypeStruct((N, L), jnp.uint32),
+        grid=(N // block,),
+        in_specs=[
+            pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(a, b, consts)
+
+
+# ---------------------------------------------------------------------------
+# fused sumcheck fold: folded = lo + r*(hi - lo) in ONE HBM pass, with the
+# two half-sums of the folded table accumulated in VMEM along the way
+# ---------------------------------------------------------------------------
+
+
+def _fold_kernel(ctx: FieldCtx, lo_ref, hi_ref, r_ref, c_ref, o_ref, s_ref):
+    L = ctx.L
+    consts = c_ref[:]
+    lo = lo_ref[0].T  # [L, BN]
+    hi = hi_ref[0].T
+    rt = jnp.broadcast_to(r_ref[0][:, None], lo.shape)
+    d = _sub_rows(ctx, hi, lo, consts)
+    m = _mont_mul_rows(ctx, d, rt, consts)
+    o = _add_rows(ctx, m, lo, consts)
+    o_ref[0] = o.T
+
+    # lazy block sum of the folded values -> strict [L+2] row (Montgomery
+    # form); the whole per-row block-sum table stays VMEM-resident across j
+    # Mosaic lacks u32 reductions; values < BN*2^16 < 2^31 are sign-safe
+    s = jnp.sum(o.astype(jnp.int32), axis=1).astype(jnp.uint32)
+    ss = _propagate_rows(s[:, None], L + 2)[:, 0]
+    j = pl.program_id(1)
+    s_ref[0, j] = ss
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def fold_pallas(ctx: FieldCtx, flat: jnp.ndarray, r: jnp.ndarray, block: int = DEFAULT_BLOCK):
+    """Fold variable 0 of each row: flat [B, 2T, L] -> ([B, T, L], [B, G, L+2]).
+
+    Returns the folded tables and, per row, strict wide per-block sums of the
+    folded table (G = T/block rows; reduce row ranges with
+    ``arith.reduce_wide_to_mont`` to get e.g. the two half-sums = the next
+    round univariate).  T must be a multiple of ``block``.
+    """
+    B, N2, L = flat.shape
+    T = N2 // 2
+    nblocks = T // block
+    consts = jnp.asarray(_consts_for(ctx.name))
+    r2 = r.reshape(1, L)
+    return pl.pallas_call(
+        functools.partial(_fold_kernel, ctx),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, L), jnp.uint32),
+            jax.ShapeDtypeStruct((B, nblocks, L + 2), jnp.uint32),
+        ),
+        grid=(B, nblocks),
+        in_specs=[
+            pl.BlockSpec((1, block, L), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, L), lambda b, j, _n=nblocks: (b, j + _n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, L + 1), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block, L), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nblocks, L + 2), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(flat, flat, r2, consts)

@@ -24,6 +24,33 @@ from ..fields import arith
 from ..fields.arith import FieldCtx
 
 
+def _fold_pallas_dispatch(
+    ctx: FieldCtx, table: jnp.ndarray, var: int, r: jnp.ndarray, need_sums: bool = False
+):
+    """TPU fast path: fused fold (+ folded half-sums) in one Pallas kernel.
+
+    Reduces any ``var`` to var=0 by treating the 2^var leading index bits as
+    batch rows.  Returns (folded [..., N/2, L], wide_sums [B, 2, L+2]) or
+    None when shapes don't fit the kernel (small tables, CPU backend)."""
+    import math
+
+    if jax.default_backend() != "tpu":
+        return None
+    *batch, N, L = table.shape
+    lead = 1 << var
+    trail = N >> (var + 1)
+    B = math.prod(batch) * lead if (batch or lead > 1) else 1
+    # half-sums need >= 2 grid blocks per row (one per output half)
+    block = min(1024, trail // 2 if need_sums else trail)
+    if trail < 256 or B * trail < 2048:
+        return None
+    from ..fields.pallas_kernels import fold_pallas
+
+    flat = table.reshape(B, 2 * trail, L)
+    folded, sums = fold_pallas(ctx, flat, r, block)
+    return folded.reshape(*batch, N // 2, L), sums
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def fold(ctx: FieldCtx, table: jnp.ndarray, var: int, r: jnp.ndarray) -> jnp.ndarray:
     """Partially evaluate variable ``var`` at Montgomery scalar ``r [L]``.
@@ -31,6 +58,9 @@ def fold(ctx: FieldCtx, table: jnp.ndarray, var: int, r: jnp.ndarray) -> jnp.nda
     table: [..., N, L] -> [..., N/2, L].  Variable 0 is the most-significant
     index bit (pairs are the two halves of the table), as in the reference.
     """
+    fast = _fold_pallas_dispatch(ctx, table, var, r)
+    if fast is not None:
+        return fast[0]
     *batch, N, L = table.shape
     lead = 1 << var
     trail = N >> (var + 1)
@@ -39,6 +69,24 @@ def fold(ctx: FieldCtx, table: jnp.ndarray, var: int, r: jnp.ndarray) -> jnp.nda
     hi = t[..., 1, :, :]
     out = arith.add(ctx, lo, arith.mont_mul(ctx, arith.sub(ctx, hi, lo), r))
     return out.reshape(*batch, N // 2, L)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def fold_and_half_sums(ctx: FieldCtx, table: jnp.ndarray, r: jnp.ndarray):
+    """One basic-sumcheck round, fully fused: fold variable 0, and return the
+    Montgomery half-sums of the *folded* table (the next round univariate).
+
+    table: [N, L] -> (folded [N/2, L], univ_mont [2, L]).
+    """
+    fast = _fold_pallas_dispatch(ctx, table, 0, r, need_sums=True)
+    if fast is not None:
+        folded, wide = fast  # wide: [1, G, L+2] strict per-block sums
+        G = wide.shape[1]
+        lazy = jnp.sum(wide[0].reshape(2, G // 2, ctx.L + 2), axis=1, dtype=jnp.uint32)
+        strict = arith.carry_propagate(lazy, ctx.L + 4)
+        return folded, arith.reduce_wide_to_mont(ctx, strict)
+    folded = fold(ctx, table, 0, r)
+    return folded, sum_halves(ctx, folded)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -65,9 +113,8 @@ def fused_round(ctx: FieldCtx, table: jnp.ndarray, r: jnp.ndarray):
     per round is inherent); fusing fold + half-sums + Montgomery-demotion
     keeps it to a single program dispatch per round.
     """
-    folded = fold(ctx, table, 0, r)
-    univ_plain = arith.from_mont(ctx, sum_halves(ctx, folded))
-    return univ_plain, folded
+    folded, univ_m = fold_and_half_sums(ctx, table, r)
+    return arith.from_mont(ctx, univ_m), folded
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -26,7 +26,7 @@ import numpy as np
 from ..fields import arith
 from ..fields.arith import FieldCtx
 from ..poly.composed import collapse_sum_of_products
-from ..poly.multilinear import fold, sum_halves
+from ..poly.multilinear import fold, fold_and_half_sums, sum_halves
 from ..transcript.device_fs import DeviceSponge, digest_to_mont, pack_bytes_be, pack_bytes_le
 from ..transcript.keccak import RATE
 
@@ -69,8 +69,7 @@ def fused_basic_prove(
         digests.append(digest)
         if rnd < n - 1:
             r = digest_to_mont(ctx, digest)
-            table = fold(ctx, table, 0, r)
-            univ_m = sum_halves(ctx, table)
+            table, univ_m = fold_and_half_sums(ctx, table, r)
             univ_p = arith.from_mont(ctx, univ_m)
 
     return (
