@@ -48,19 +48,24 @@ def timeit(fn, warmup=1, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_sumcheck_round(n_log2=20):
-    """One fused sumcheck prover round (half-sums + fold) at 2^n."""
+def bench_sumcheck_round(n_log2=20, iters=10):
+    """One fused sumcheck prover round (fold + half-sums) at 2^n.
+
+    Measures steady-state device throughput: iterations are chained (output
+    feeds input) and synced once, so the ~85 ms tunnel round-trip amortizes
+    away instead of dominating every sample."""
     from tpu_zk.fields.arith import field_ctx
-    from tpu_zk.poly.multilinear import fold, sum_halves
+    from tpu_zk.poly.multilinear import fold_and_half_sums
 
     ctx = field_ctx("bn254_fr")
     n = 1 << n_log2
 
     @jax.jit
-    def rnd(table, r):
-        return sum_halves(ctx, table), fold(ctx, table, 0, r)
+    def two_rounds(table):
+        f1, u1 = fold_and_half_sums(ctx, table, r)
+        f2, _ = fold_and_half_sums(ctx, table, u1[0])
+        return jnp.concatenate([f1, f2])  # keeps the working-set size fixed
 
-    # build a deterministic table without 2^20 python conversions
     import numpy as np
     import jax.numpy as jnp
 
@@ -70,7 +75,13 @@ def bench_sumcheck_round(n_log2=20):
     table = jnp.asarray(limbs)
     r = ctx.scalar(123456789)
 
-    dt = timeit(lambda: rnd(table, r))
+    force(two_rounds(table))  # warmup/compile
+    t0 = time.perf_counter()
+    y = table
+    for _ in range(iters):
+        y = two_rounds(y)
+    force(y)
+    dt = (time.perf_counter() - t0) / (2 * iters)
     log(f"sumcheck round 2^{n_log2}: {dt*1e3:.1f} ms ({n/dt/1e6:.1f} M elem/s)")
     return {"sumcheck_round_s": dt, "sumcheck_elems_per_s": n / dt, "n_log2": n_log2}
 
