@@ -77,6 +77,22 @@ def test_msm_pippenger_matches_host():
     scalars = [(k * 7919 + 13) for k in ks]
     limbs = dc.fr.array([s % dc.fr.p for s in scalars], mont=False)
     P = dc.points_to_device(pts)
-    out = msm_pippenger(dc.ctx, dc.b3, (P, limbs), 8)
+    # c=4 (the production default): the c=8 variant's 256-bucket suffix scan
+    # makes XLA's CPU compile big enough to crash the shared pytest process
+    out = msm_pippenger(dc.ctx, dc.b3, (P, limbs), 4)
     expected = hc.g1_affine(hc.g1_mul(g, sum(k * s for k, s in zip(ks, scalars))))
     assert dc.point_to_host(out) == expected
+
+
+def test_msm_digit_extraction_windows():
+    import numpy as np
+
+    from tpu_zk.curves.msm_pippenger import _digits
+
+    dc = DeviceCurve("bn254")
+    s = 0xDEADBEEF12345678
+    limbs = dc.fr.array([s], mont=False)
+    for c in (4, 8, 16):
+        d = np.asarray(_digits(limbs, c))[0]
+        rebuilt = sum(int(v) << (c * i) for i, v in enumerate(d))
+        assert rebuilt == s

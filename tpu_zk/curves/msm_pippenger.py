@@ -54,9 +54,17 @@ def msm_pippenger(
     points, scalar_limbs = inputs
     N = points[0].shape[0]
     B = 1 << c
-    K = lanes or _pick_lanes(N)
-    if N % K:
-        pad = K - N % K
+    # TPU path: whole bucket-accumulation phase in one Pallas dispatch with
+    # the bucket table VMEM-resident per window (ec_pallas.msm_buckets_pallas)
+    use_kernel = jax.default_backend() == "tpu" and N >= 2048 and c <= 5
+    if use_kernel:
+        K = min(1024, max(128, 1 << ((N // 8).bit_length() - 1)))
+        modulus = 8 * K  # digit blocks are 8 chunk-steps tall
+    else:
+        K = lanes or _pick_lanes(N)
+        modulus = K
+    if N % modulus:
+        pad = modulus - N % modulus
         points = tuple(
             jnp.concatenate([coord, jnp.broadcast_to(i, (pad,) + i.shape)])
             for coord, i in zip(points, ec_identity(ctx))
@@ -69,27 +77,36 @@ def msm_pippenger(
     digits = _digits(scalar_limbs, c)  # [N, W]
     W = digits.shape[1]
     chunk = N // K
-    pts = tuple(coord.reshape(K, chunk, ctx.L) for coord in points)
-    digs = digits.reshape(K, chunk, W).transpose(1, 2, 0)  # [chunk, W, K]
-    krows = jnp.broadcast_to(jnp.arange(K)[None, :], (W, K))
-    wrows = jnp.broadcast_to(jnp.arange(W)[:, None], (W, K))
 
-    buckets = ec_identity(ctx, (W, K, B))
+    if use_kernel:
+        from .ec_pallas import msm_buckets_pallas
 
-    def step(j, buckets):
-        d = jax.lax.dynamic_index_in_dim(digs, j, axis=0, keepdims=False)  # [W, K]
-        P_j = tuple(
-            jnp.broadcast_to(
-                jax.lax.dynamic_index_in_dim(cc, j, axis=1, keepdims=False)[None],
-                (W, K, ctx.L),
+        pts = tuple(coord.reshape(chunk, K, ctx.L) for coord in points)
+        digs = digits.reshape(chunk, K, W).transpose(2, 0, 1)  # [W, chunk, K]
+        bkt = msm_buckets_pallas(ctx, b3, pts, digs, B)  # ([W, B, K, L],)*3
+        buckets = tuple(x.transpose(0, 2, 1, 3) for x in bkt)  # [W, K, B, L]
+    else:
+        pts = tuple(coord.reshape(K, chunk, ctx.L) for coord in points)
+        digs = digits.reshape(K, chunk, W).transpose(1, 2, 0)  # [chunk, W, K]
+        krows = jnp.broadcast_to(jnp.arange(K)[None, :], (W, K))
+        wrows = jnp.broadcast_to(jnp.arange(W)[:, None], (W, K))
+
+        buckets = ec_identity(ctx, (W, K, B))
+
+        def step(j, buckets):
+            d = jax.lax.dynamic_index_in_dim(digs, j, axis=0, keepdims=False)  # [W, K]
+            P_j = tuple(
+                jnp.broadcast_to(
+                    jax.lax.dynamic_index_in_dim(cc, j, axis=1, keepdims=False)[None],
+                    (W, K, ctx.L),
+                )
+                for cc in pts
             )
-            for cc in pts
-        )
-        cur = tuple(b[wrows, krows, d] for b in buckets)
-        new = ec_add(ctx, b3, cur, P_j)
-        return tuple(b.at[wrows, krows, d].set(nc) for b, nc in zip(buckets, new))
+            cur = tuple(b[wrows, krows, d] for b in buckets)
+            new = ec_add(ctx, b3, cur, P_j)
+            return tuple(b.at[wrows, krows, d].set(nc) for b, nc in zip(buckets, new))
 
-    buckets = jax.lax.fori_loop(0, chunk, step, buckets)
+        buckets = jax.lax.fori_loop(0, chunk, step, buckets)
 
     # reduce lanes: [W, K, B] -> [W, B]
     bX, bY, bZ = buckets

@@ -94,10 +94,11 @@ def _consts_for(name: str) -> np.ndarray:
 
     ctx = field_ctx(name)
     L = ctx.L
-    out = np.zeros((3, L + 1), np.uint32)
+    out = np.zeros((4, L + 1), np.uint32)
     out[0, :L] = ctx.p_limbs
     out[1] = _comp_limbs(ctx.p, L + 1)
     out[2, :L] = _comp_limbs(ctx.p, L)
+    out[3, :L] = _limbs_of_int(ctx.R % ctx.p, L)  # one in Montgomery form
     return out
 
 
@@ -135,7 +136,7 @@ def mont_mul_pallas(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, block: int = 
         in_specs=[
             pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
@@ -166,7 +167,7 @@ def addsub_pallas(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, kind: str, bloc
         in_specs=[
             pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
@@ -224,7 +225,7 @@ def fold_pallas(ctx: FieldCtx, flat: jnp.ndarray, r: jnp.ndarray, block: int = D
             pl.BlockSpec((1, block, L), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, L), lambda b, j, _n=nblocks: (b, j + _n, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, L + 1), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, L + 1), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block, L), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
