@@ -53,6 +53,16 @@ def msm_pippenger(
     """inputs = (points ([N,L],)*3, scalar_limbs_plain [N,Lr]) -> single point."""
     points, scalar_limbs = inputs
     N = points[0].shape[0]
+    # Small problems (and the CPU test backend) don't amortize the Pippenger
+    # machinery: its bucket graph costs minutes of XLA:CPU compile time for a
+    # 4-point MSM.  Batched double-and-add is one small fori_loop program and
+    # produces the identical group element.
+    if jax.default_backend() != "tpu" or N < 2048:
+        from .ec_device import msm
+
+        shifts = jnp.arange(16, dtype=jnp.uint32)
+        bits = ((scalar_limbs[..., None] >> shifts) & np.uint32(1)).reshape(N, -1)
+        return msm(ctx, b3, points, bits)
     B = 1 << c
     # TPU path: whole bucket-accumulation phase in one Pallas dispatch with
     # the bucket table VMEM-resident per window (ec_pallas.msm_buckets_pallas)
