@@ -21,6 +21,12 @@ from tpu_zk.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 RESULTS_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "results.json")
+# previous round's recorded numbers (committed, never overwritten by runs):
+# vs_baseline compares against this so repeat runs within a round don't
+# shift the baseline under themselves
+BASELINE_PATH = os.path.join(
+    os.path.dirname(__file__), "benchmarks", "baseline_prev_round.json"
+)
 
 
 def log(msg):
@@ -135,6 +141,7 @@ def bench_msm(n_log2=16, curve="bls12_381"):
 
 
 def bench_ntt(n_log2=20):
+    """Forward NTT via the multi-pass Bailey plan (ntt/sixstep.py)."""
     from tpu_zk.fields.arith import field_ctx
     from tpu_zk.ntt.ntt import NTT
 
@@ -153,6 +160,75 @@ def bench_ntt(n_log2=20):
     return {"ntt_forward_s": dt_f, "ntt_elems_per_s": n / dt_f, "n_log2": n_log2}
 
 
+def bench_fri(n_log2=18):
+    """FRI commit+prove over a 2^18 codeword (BASELINE config 3)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_zk.fields.arith import field_ctx
+    from tpu_zk.fri.fri import FriConfig, prove
+    from tpu_zk.ntt.ntt import NTT
+    from tpu_zk.transcript.fiat_shamir import Transcript
+
+    ctx = field_ctx("bn254_fr")
+    n = 1 << n_log2
+    cfg = FriConfig("bn254_fr", n_log2, final_size_log2=4, num_queries=20, blowup_log2=2)
+    # low-degree codeword: NTT of sparse coefficients
+    coeffs = np.zeros((n, ctx.L), np.uint32)
+    coeffs[: n >> cfg.blowup_log2, 0] = (
+        np.arange(n >> cfg.blowup_log2, dtype=np.uint32) % 65521
+    )
+    codeword = NTT("bn254_fr", n_log2, cfg.root).forward(jnp.asarray(coeffs))
+
+    def run():
+        return prove(cfg, codeword, Transcript())
+
+    run()  # warmup/compile
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    log(f"fri prove 2^{n_log2}: {dt:.2f} s ({n/dt/1e6:.2f} M elems/s)")
+    return {"fri_prove_s": dt, "fri_elems_per_s": n / dt, "n_log2": n_log2}
+
+
+def bench_sparse_gkr(depth=10):
+    """Linear-time GKR over a 2^depth-input reduction tree (config-5 shape)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_zk.circuit.layered import ADD, tree_sum_circuit
+    from tpu_zk.fields import arith
+    from tpu_zk.fields.arith import field_ctx
+    from tpu_zk.gkr import sparse
+
+    ctx = field_ctx("bn254_fr")
+    circuit = tree_sum_circuit(ctx, depth, op=ADD)
+    n = 1 << depth
+    plain = np.zeros((n, ctx.L), np.uint32)
+    plain[:, 0] = (np.arange(n) * 31 + 7) % 65521
+    r2 = jnp.asarray(arith._limbs_of_int(ctx.R2, ctx.L))
+    table = arith.mont_mul(ctx, jnp.asarray(plain), r2)
+
+    sparse.prove(circuit, table)  # warmup/compile
+    t0 = time.perf_counter()
+    sparse.prove(circuit, table)
+    dt = time.perf_counter() - t0
+    gates = n - 1
+    log(f"sparse gkr prove 2^{depth}-input tree: {dt:.2f} s ({gates/dt:.0f} gates/s)")
+    return {"gkr_prove_s": dt, "gkr_gates_per_s": gates / dt, "depth": depth}
+
+
+# (section, throughput key) pairs folded into the headline geomean
+SUITE_KEYS = [
+    ("sumcheck_round", "sumcheck_elems_per_s"),
+    ("full_sumcheck", "rounds_per_s"),
+    ("ntt", "ntt_elems_per_s"),
+    ("msm", "msm_points_per_s"),
+    ("fri", "fri_elems_per_s"),
+    ("gkr", "gkr_gates_per_s"),
+]
+
+
 def main():
     log(f"devices: {jax.devices()}")
     results = {"platform": str(jax.devices()[0])}
@@ -160,21 +236,33 @@ def main():
     results["full_sumcheck"] = bench_full_sumcheck()
     results["ntt"] = bench_ntt()
     results["msm"] = bench_msm()
+    results["fri"] = bench_fri()
+    results["gkr"] = bench_sparse_gkr()
 
     prev = None
-    if os.path.exists(RESULTS_PATH):
-        try:
-            with open(RESULTS_PATH) as f:
-                prev = json.load(f)
-        except Exception:
-            prev = None
+    for path in (BASELINE_PATH, RESULTS_PATH):
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+                break
+            except Exception:
+                prev = None
 
+    # headline: per-chip sumcheck round throughput (the BASELINE.json primary
+    # metric); vs_baseline = geomean speedup of the whole kernel suite over
+    # the previous recorded round, so every kernel's progress counts.
     primary = results["sumcheck_round"]["sumcheck_elems_per_s"]
-    vs = 1.0
-    if prev and "sumcheck_round" in prev:
-        old = prev["sumcheck_round"].get("sumcheck_elems_per_s")
-        if old:
-            vs = primary / old
+    import math
+
+    ratios = []
+    for section, key in SUITE_KEYS:
+        new = results.get(section, {}).get(key)
+        old = (prev or {}).get(section, {}).get(key)
+        if new and old:
+            ratios.append(new / old)
+    vs = math.exp(sum(map(math.log, ratios)) / len(ratios)) if ratios else 1.0
+    log(f"suite geomean vs previous round: {vs:.3f} ({len(ratios)} kernels)")
 
     os.makedirs(os.path.dirname(RESULTS_PATH), exist_ok=True)
     with open(RESULTS_PATH, "w") as f:

@@ -4,3 +4,5 @@ set -e
 cd "$(dirname "$0")"
 ${CXX:-g++} -O3 -shared -fPIC -march=native -o libkeccak.so keccak.cpp
 echo "built $(pwd)/libkeccak.so"
+${CXX:-g++} -O3 -shared -fPIC -o libpairing.so pairing.cpp
+echo "built $(pwd)/libpairing.so"

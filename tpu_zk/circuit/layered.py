@@ -53,6 +53,19 @@ class Layer:
         self.ops = np.array([g.operator for g in gates], np.int32)
         self.width = int(self.outs.max()) + 1 if gates else 1
 
+    @classmethod
+    def from_arrays(cls, lefts, rights, outs, ops) -> "Layer":
+        """Array-native constructor (no per-gate Python objects) -- the only
+        practical way to build 2^20+-gate layers."""
+        layer = cls.__new__(cls)
+        layer.gates = None
+        layer.lefts = np.asarray(lefts, np.int32)
+        layer.rights = np.asarray(rights, np.int32)
+        layer.outs = np.asarray(outs, np.int32)
+        layer.ops = np.asarray(ops, np.int32)
+        layer.width = int(layer.outs.max()) + 1 if layer.outs.size else 1
+        return layer
+
 
 @dataclass
 class CircuitEvaluationResult:
@@ -69,7 +82,10 @@ class Circuit:
         self.ctx = ctx
         self.layers = layers
 
-    def evaluate(self, values) -> CircuitEvaluationResult:
+    def evaluate(self, values, materialize: bool = True) -> CircuitEvaluationResult:
+        """materialize=False skips pulling every layer back as host ints
+        (converting 2^24 limb rows to Python ints costs minutes); only the
+        output layer is materialized, which is all the protocols need."""
         ctx = self.ctx
         current = values if hasattr(values, "shape") else ctx.array(list(values))
         tables = [current]
@@ -85,9 +101,14 @@ class Circuit:
             )
             tables.append(current)
         tables.reverse()
-        evals = [ctx.to_ints(t) if t.shape[0] > 1 else [ctx.to_ints(t)[0]] for t in tables]
+
+        def ints(t):
+            return ctx.to_ints(t) if t.shape[0] > 1 else [ctx.to_ints(t)[0]]
+
+        output = ints(tables[0])
+        evals = [ints(t) for t in tables] if materialize else [output]
         return CircuitEvaluationResult(
-            output=evals[0], layer_evaluations=evals, layer_tables=tables
+            output=output, layer_evaluations=evals, layer_tables=tables
         )
 
     # -- wiring MLEs ---------------------------------------------------------
@@ -139,6 +160,19 @@ def _eval_layer(ctx, current, lefts, rights, outs, ops, width: int):
     plain = arith.redc_wide(ctx, wide)
     r2 = jnp.asarray(arith._limbs_of_int(ctx.R2, ctx.L))
     return arith.mont_mul(ctx, plain, r2)
+
+
+def tree_sum_circuit(ctx: FieldCtx, depth: int, op: int = ADD) -> Circuit:
+    """Balanced binary reduction circuit: 2^depth inputs, layer i has 2^i
+    gates (2^depth - 1 total) -- the BASELINE config-5 scale shape."""
+    layers = []
+    for i in range(depth):
+        n = 1 << i
+        idx = np.arange(n, dtype=np.int32)
+        layers.append(
+            Layer.from_arrays(2 * idx, 2 * idx + 1, idx, np.full(n, op, np.int32))
+        )
+    return Circuit(ctx, layers)
 
 
 def num_of_layer_variables(layer_index: int) -> int:

@@ -27,14 +27,14 @@ DEFAULT_BLOCK = 1024
 
 
 def _propagate_rows(t: jnp.ndarray, out_rows: int) -> jnp.ndarray:
-    """Carry-propagate along axis 0 (limb-major): lazy [W, BN] -> strict."""
+    """Carry-propagate along axis 0 (limb-major): lazy [W, ...] -> strict."""
     W = t.shape[0]
-    BN = t.shape[1]
+    rest = t.shape[1:]
     if out_rows > W:
-        t = jnp.concatenate([t, jnp.zeros((out_rows - W, BN), jnp.uint32)], 0)
+        t = jnp.concatenate([t, jnp.zeros((out_rows - W, *rest), jnp.uint32)], 0)
 
     def shift_up(x, k=1):
-        return jnp.concatenate([jnp.zeros((k, BN), jnp.uint32), x[:-k]], 0)
+        return jnp.concatenate([jnp.zeros((k, *rest), jnp.uint32), x[:-k]], 0)
 
     for _ in range(2):
         t = (t & MASK) + shift_up(t >> LIMB_BITS)
@@ -49,37 +49,55 @@ def _propagate_rows(t: jnp.ndarray, out_rows: int) -> jnp.ndarray:
     return (r + shift_up(g, 1)) & MASK
 
 
-def _cond_sub_rows(t: jnp.ndarray, comp_col: jnp.ndarray, L: int) -> jnp.ndarray:
-    """Subtract p if value >= p.  t: strict [W, BN]; comp_col = (B^W - p) [W, 1]."""
+def _col(consts: jnp.ndarray, row: int, width: int, ndim: int) -> jnp.ndarray:
+    """Constant row as a [width, 1, ..., 1] column broadcastable at rank ndim.
+
+    consts comes in two layouts: the classic 2-D ``[rows, L+1]`` (only valid
+    for rank <= 2 data -- Mosaic cannot shape-cast a lane-major 1-D vector to
+    rank >= 3) and the sublane-major 3-D ``[rows, L+1, 1]``, whose ``[W, 1]``
+    column slices Mosaic happily broadcast-in-dims to any rank.
+    """
+    if consts.ndim == 3:
+        c2 = consts[row, :width]  # [W, 1], value on sublanes
+        if ndim <= 2:
+            return c2
+        return jax.lax.broadcast_in_dim(c2, (width,) + (1,) * (ndim - 1), (0, 1))
+    assert ndim <= 2, "rank >= 3 kernels must pass sublane-major [rows, L+1, 1] consts"
+    return consts[row, :width][:, None]
+
+
+def _cond_sub_rows(t: jnp.ndarray, consts: jnp.ndarray, row: int, L: int) -> jnp.ndarray:
+    """Subtract p if value >= p.  t: strict [W, ...]; consts row = B^W - p."""
     W = t.shape[0]
-    d = _propagate_rows(t + comp_col, W + 1)
+    d = _propagate_rows(t + _col(consts, row, W, t.ndim), W + 1)
     ge = d[W] != 0
-    return jnp.where(ge[None, :], d[:W], t)[:L]
+    return jnp.where(ge[None], d[:W], t)[:L]
 
 
 def _mont_mul_rows(ctx: FieldCtx, at: jnp.ndarray, bt: jnp.ndarray, consts: jnp.ndarray) -> jnp.ndarray:
-    """CIOS on limb-major tiles: [L, BN] x [L, BN] -> [L, BN].
+    """CIOS on limb-major tiles: [L, ...] x [L, ...] -> [L, ...] (broadcasting).
 
     consts: [2, L+1] -- row 0 = p limbs (padded), row 1 = B^(L+1) - p.
     """
     L = ctx.L
-    BN = at.shape[1]
-    n = consts[0, :L][:, None]  # [L, 1]
+    rest = jnp.broadcast_shapes(at.shape[1:], bt.shape[1:])
+    ndim = len(rest) + 1
+    n = _col(consts, 0, L, ndim)
     n0inv = np.uint32(ctx.n0inv)
-    zero_row = jnp.zeros((1, BN), jnp.uint32)
-    t = jnp.zeros((L + 2, BN), jnp.uint32)
+    zero_row = jnp.zeros((1, *rest), jnp.uint32)
+    t = jnp.zeros((L + 2, *rest), jnp.uint32)
     for i in range(L):
-        p_full = at[i][None, :] * bt  # [L, BN], exact u32
+        p_full = at[i : i + 1] * bt  # [L, ...], exact u32
         t = t + jnp.concatenate([p_full & MASK, zero_row, zero_row], 0)
         t = t + jnp.concatenate([zero_row, p_full >> LIMB_BITS, zero_row], 0)
-        m = (t[0] * n0inv) & MASK
-        q = m[None, :] * n
+        m = (t[0:1] * n0inv) & MASK
+        q = m * n
         t = t + jnp.concatenate([q & MASK, zero_row, zero_row], 0)
         t = t + jnp.concatenate([zero_row, q >> LIMB_BITS, zero_row], 0)
-        carry = t[0] >> LIMB_BITS
-        t = jnp.concatenate([(t[1] + carry)[None, :], t[2:], zero_row], 0)
+        carry = t[0:1] >> LIMB_BITS
+        t = jnp.concatenate([t[1:2] + carry, t[2:], zero_row], 0)
     strict = _propagate_rows(t[: L + 1], L + 1)
-    return _cond_sub_rows(strict, consts[1][:, None], L)
+    return _cond_sub_rows(strict, consts, 1, L)
 
 
 def _mont_mul_kernel(ctx: FieldCtx, a_ref, b_ref, c_ref, o_ref):
@@ -103,21 +121,21 @@ def _consts_for(name: str) -> np.ndarray:
 
 
 def _add_rows(ctx: FieldCtx, at: jnp.ndarray, bt: jnp.ndarray, consts: jnp.ndarray) -> jnp.ndarray:
-    """Modular add on limb-major strict canonical tiles [L, BN]."""
-    strict = _propagate_rows(at + bt, ctx.L + 1)
-    return _cond_sub_rows(strict, consts[1][:, None], ctx.L)
+    """Modular add on limb-major strict canonical tiles [L, ...]."""
+    s = at + bt
+    strict = _propagate_rows(s, ctx.L + 1)
+    return _cond_sub_rows(strict, consts, 1, ctx.L)
 
 
 def _sub_rows(ctx: FieldCtx, at: jnp.ndarray, bt: jnp.ndarray, consts: jnp.ndarray) -> jnp.ndarray:
     """Modular sub on limb-major strict canonical tiles: a - b + p, reduce."""
     L = ctx.L
-    p_col = consts[0, :L][:, None]
-    t = at + (MASK - bt) + p_col  # rows < 3*2^16, lazy-safe
+    t = at + (MASK - bt) + _col(consts, 0, L, max(at.ndim, bt.ndim))
     t = jnp.concatenate([t[:1] + 1, t[1:]], 0)  # completes B^L - b
     # value = a - b + p + B^L with a-b+p in (0, 2p) and 2p < B^L: the B^L bit
     # lands in row L after propagation, low L rows are exactly a - b + p
     strict = _propagate_rows(t, L + 1)[:L]
-    return _cond_sub_rows(strict, consts[2, :L][:, None], L)
+    return _cond_sub_rows(strict, consts, 2, L)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))

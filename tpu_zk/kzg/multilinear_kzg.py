@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..curves.ec_device import msm, scalar_bits
 from ..curves.msm_pippenger import msm_pippenger
 from ..curves.host_ec import ec_neg
-from ..curves.pairing import pairing_product_is_one
+from ..curves.pairing_native import pairing_product_is_one  # native C++, py fallback
 from ..fields import arith
 from ..poly.multilinear import MultilinearPolynomial
 from .trusted_setup import TrustedSetup

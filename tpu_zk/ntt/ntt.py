@@ -85,6 +85,7 @@ def _twiddle_table(ctx: FieldCtx, w_mont: jnp.ndarray, half_log2: int) -> jnp.nd
 
 class NTT:
     def __init__(self, field_name: str, n_log2: int, root: int | None = None):
+        self.field_name = field_name
         self.ctx = field_ctx(field_name)
         self.n_log2 = n_log2
         self.N = 1 << n_log2
@@ -96,13 +97,36 @@ class NTT:
         self._rev = jnp.asarray(_bit_reverse_indices(n_log2))
         self._tw_fwd = _twiddle_table(self.ctx, self.ctx.scalar(self.root), max(n_log2 - 1, 0))
         self._tw_inv = _twiddle_table(self.ctx, self.ctx.scalar(self.root_inv), max(n_log2 - 1, 0))
+        self._plans = {}  # direction -> SixStepPlan (lazy; TPU large-N path)
+
+    def _plan(self, inverse: bool):
+        """Multi-pass VMEM-resident plan (sixstep.py) -- ~2-3x the per-stage
+        path at 2^18+ by fusing all butterflies of each factor into one
+        Pallas sweep."""
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu" or self.n_log2 < 12:
+            return None
+        if inverse not in self._plans:
+            from .sixstep import SixStepPlan
+
+            self._plans[inverse] = SixStepPlan(
+                self.field_name, self.n_log2, self.root, inverse=inverse
+            )
+        return self._plans[inverse]
 
     def forward(self, table: jnp.ndarray) -> jnp.ndarray:
         """[N, L] Montgomery coefficients -> evaluations at root powers."""
+        plan = self._plan(inverse=False)
+        if plan is not None:
+            return plan(table)
         t = jnp.take(table, self._rev, axis=0)
         return _ntt_device(self.ctx, t, self._tw_fwd, self.n_log2)
 
     def inverse(self, table: jnp.ndarray) -> jnp.ndarray:
+        plan = self._plan(inverse=True)
+        if plan is not None:
+            return plan(table)
         t = jnp.take(table, self._rev, axis=0)
         out = _ntt_device(self.ctx, t, self._tw_inv, self.n_log2)
         return arith.mont_mul(self.ctx, out, self.ctx.scalar(self.n_inv))

@@ -118,6 +118,16 @@ def fused_round(ctx: FieldCtx, table: jnp.ndarray, r: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def fold_chain(ctx: FieldCtx, table: jnp.ndarray, rs: jnp.ndarray) -> jnp.ndarray:
+    """Fold variable 0 at each point of ``rs [k, L]`` in ONE device program
+    (a per-point dispatch costs one ~35 ms tunnel round trip each)."""
+    t = table
+    for i in range(rs.shape[0]):
+        t = fold(ctx, t, 0, rs[i])
+    return t
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def tensor_add(ctx: FieldCtx, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """Outer sum: out[i*Nc + j] = b[i] + c[j] (evaluation_form.rs:108-124)."""
     out = arith.add(ctx, b[:, None, :], c[None, :, :])
@@ -160,10 +170,11 @@ class MultilinearPolynomial:
 
     def evaluate(self, values) -> int:
         """Evaluate at a point (list of ints / scalars); returns canonical int."""
-        t = self.table
-        for v in values:
-            t = fold(self.ctx, t, 0, self._as_scalar(v))
-        return self.ctx.to_ints(t[0])
+        values = list(values)
+        if not values:
+            return self.ctx.to_ints(self.table[0])
+        rs = jnp.stack([self._as_scalar(v) for v in values])
+        return self.ctx.to_ints(fold_chain(self.ctx, self.table, rs)[0])
 
     def scalar_mul(self, value) -> "MultilinearPolynomial":
         r = self._as_scalar(value)

@@ -72,13 +72,20 @@ def generate_round_univariate(sum_polynomial: SumPolynomial) -> list[int]:
 
 
 def prove(
-    sum_polynomial: SumPolynomial, claimed_sum: int, transcript: Transcript, fused: bool = True
+    sum_polynomial: SumPolynomial,
+    claimed_sum: int,
+    transcript: Transcript,
+    fused: bool = True,
+    absorb_claim: bool = True,
 ) -> SumcheckProverProof:
+    """absorb_claim=False continues an in-flight sumcheck (the sparse GKR
+    prover runs one logical sumcheck as two phase-wise working sets)."""
     ctx = sum_polynomial.ctx
     number_of_variables = sum_polynomial.number_of_variables
     degree = sum_polynomial.degree
 
-    transcript.append(ctx.to_bytes_be(claimed_sum))
+    if absorb_claim:
+        transcript.append(ctx.to_bytes_be(claimed_sum))
 
     if fused:
         return _prove_fused(sum_polynomial, claimed_sum, transcript)

@@ -46,6 +46,7 @@ def enable_persistent_cache(path: str | None = None) -> None:
     # backend runs without a persistent cache.
     backend = os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "default"
     if backend == "cpu" or jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_compilation_cache", False)
         return
     cache_dir = os.path.join(
         os.path.abspath(path or _DEFAULT_DIR), backend + "-" + _host_fingerprint()
