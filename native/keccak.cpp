@@ -12,6 +12,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 static const uint64_t RC[24] = {
     0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
@@ -75,10 +77,9 @@ void keccak_absorb_blocks(uint64_t state[25], const uint8_t* data,
   }
 }
 
-// Hash n independent messages of msg_len bytes each -> 32-byte digests.
-void keccak256_many(const uint8_t* msgs, uint64_t n, uint64_t msg_len,
-                    uint8_t* out) {
-  for (uint64_t i = 0; i < n; ++i) {
+static void hash_range(const uint8_t* msgs, uint64_t lo, uint64_t hi,
+                       uint64_t msg_len, uint8_t* out) {
+  for (uint64_t i = lo; i < hi; ++i) {
     uint64_t state[25] = {0};
     const uint8_t* msg = msgs + i * msg_len;
     uint64_t full = msg_len / 136;
@@ -90,6 +91,47 @@ void keccak256_many(const uint8_t* msgs, uint64_t n, uint64_t msg_len,
     last[135] ^= 0x80;
     keccak_absorb_blocks(state, last, 1);
     std::memcpy(out + 32 * i, state, 32);
+  }
+}
+
+static void hash_many_parallel(const uint8_t* msgs, uint64_t n,
+                               uint64_t msg_len, uint8_t* out) {
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t nthreads = hw ? hw : 1;
+  if (nthreads > n / 4096) nthreads = n / 4096;  // ~4k hashes per thread min
+  if (nthreads <= 1) {
+    hash_range(msgs, 0, n, msg_len, out);
+    return;
+  }
+  std::vector<std::thread> workers;
+  uint64_t chunk = (n + nthreads - 1) / nthreads;
+  for (uint64_t t = 0; t < nthreads; ++t) {
+    uint64_t lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
+    workers.emplace_back(hash_range, msgs, lo, hi, msg_len, out);
+  }
+  for (auto& w : workers) w.join();
+}
+
+// Hash n independent messages of msg_len bytes each -> 32-byte digests.
+void keccak256_many(const uint8_t* msgs, uint64_t n, uint64_t msg_len,
+                    uint8_t* out) {
+  hash_many_parallel(msgs, n, msg_len, out);
+}
+
+// Full binary Merkle tree over n leaves of leaf_len bytes (n a power of 2).
+// out receives every level's digests back to back: n leaf hashes, then n/2
+// internal nodes, ..., then the root -- (2n - 1) * 32 bytes total.  Levels
+// hash in place from the previous level's region, leaf level in parallel.
+void merkle_build(const uint8_t* leaves, uint64_t n, uint64_t leaf_len,
+                  uint8_t* out) {
+  hash_many_parallel(leaves, n, leaf_len, out);
+  uint8_t* prev = out;
+  uint64_t width = n;
+  while (width > 1) {
+    uint8_t* next = prev + width * 32;
+    hash_many_parallel(prev, width / 2, 64, next);
+    prev = next;
+    width /= 2;
   }
 }
 }

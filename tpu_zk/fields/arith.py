@@ -102,15 +102,27 @@ class FieldCtx:
         return jnp.asarray(_limbs_of_int(v, self.L), dtype=jnp.uint32)
 
     def to_ints(self, arr, mont: bool = True):
-        """Device array [..., L] -> python ints (canonical, non-Montgomery)."""
-        a = np.asarray(jax.device_get(arr))
-        flat = a.reshape(-1, self.L)
-        out = []
-        for row in flat:
-            x = 0
-            for i in range(self.L):
-                x |= int(row[i]) << (LIMB_BITS * i)
-            out.append(self.from_mont_int(x) if mont else x % self.p)
+        """Device array [..., L] -> python ints (canonical, non-Montgomery).
+
+        Vectorized: one BE-bytes view of the whole array, then one
+        ``int.from_bytes`` per element (the per-limb Python loop this
+        replaces was the FRI query phase's bottleneck).
+        """
+        a = np.asarray(jax.device_get(arr)).reshape(-1, self.L)
+        buf = a[:, ::-1].astype(">u2").tobytes()
+        per = self.L * 2
+        if mont:
+            rinv, p = self.Rinv, self.p
+            out = [
+                int.from_bytes(buf[i : i + per], "big") * rinv % p
+                for i in range(0, len(buf), per)
+            ]
+        else:
+            p = self.p
+            out = [
+                int.from_bytes(buf[i : i + per], "big") % p
+                for i in range(0, len(buf), per)
+            ]
         if arr.ndim == 1:
             return out[0]
         return out

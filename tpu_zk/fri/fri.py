@@ -148,26 +148,38 @@ def prove(config: FriConfig, codeword: jnp.ndarray, transcript: Transcript) -> F
     for v in final_codeword:
         transcript.append(ctx.to_bytes_be(v))
 
-    # query phase
-    host_codewords = [None] * config.num_rounds
+    # query phase: gather ONLY the opened positions from each codeword (one
+    # device gather + tiny to_ints per round) -- converting whole codewords
+    # to host ints was 90% of prove time at 2^18
     indices = _query_indices(transcript, config.num_queries, 1 << (config.domain_log2 - 1))
+    tracked = list(indices)
+    round_positions: list[list[int]] = []
+    for r in range(config.num_rounds):
+        half = 1 << (config.domain_log2 - r - 1)
+        tracked = [i % half for i in tracked]
+        round_positions.append(tracked)
+
+    round_values: list[list[int]] = []
+    for r, positions in enumerate(round_positions):
+        half = 1 << (config.domain_log2 - r - 1)
+        gather = jnp.asarray(
+            [p for i in positions for p in (i, i + half)], dtype=jnp.int32
+        )
+        round_values.append(ctx.to_ints(codewords[r][gather]))
+
     queries = []
-    for idx in indices:
+    for q in range(len(indices)):
         rounds = []
-        index = idx
         for r in range(config.num_rounds):
-            size = 1 << (config.domain_log2 - r)
-            index %= size // 2
-            if host_codewords[r] is None:
-                host_codewords[r] = config.ctx.to_ints(codewords[r])
-            vals = host_codewords[r]
+            half = 1 << (config.domain_log2 - r - 1)
+            index = round_positions[r][q]
             rounds.append(
                 FriQueryRound(
                     index=index,
-                    value_lo=vals[index],
-                    value_hi=vals[index + size // 2],
+                    value_lo=round_values[r][2 * q],
+                    value_hi=round_values[r][2 * q + 1],
                     path_lo=trees[r].open(index),
-                    path_hi=trees[r].open(index + size // 2),
+                    path_hi=trees[r].open(index + half),
                 )
             )
         queries.append(rounds)

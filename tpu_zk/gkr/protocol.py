@@ -20,12 +20,11 @@ from ..poly.multilinear import MultilinearPolynomial
 from ..sumcheck import gkr_sumcheck
 from ..sumcheck.gkr_sumcheck import SumcheckProverProof
 from ..transcript.fiat_shamir import Transcript
-from .utils import (
-    compute_fbc_polynomial,
-    compute_new_add_i_mul_i,
-    compute_verifier_folded_claim,
-    compute_verifier_initial_claim,
-    evaluate_wb_wc,
+from .wiring import (
+    WiringPair,
+    expected_layer_claim,
+    layer_polynomial,
+    split_half_evaluations,
 )
 
 
@@ -69,20 +68,22 @@ def prove(circuit: Circuit, inputs) -> Proof:
             add_i_bc = add_i_abc.partial_evaluate(0, random_challenge_a)
             mul_i_bc = mul_i_abc.partial_evaluate(0, random_challenge_a)
         else:
-            add_i_bc, mul_i_bc = compute_new_add_i_mul_i(
-                alpha, beta, add_i_abc, mul_i_abc, rb_values, rc_values
+            add_i_bc, mul_i_bc = (
+                WiringPair.of(add_i_abc, mul_i_abc)
+                .alpha_beta_fold(alpha, beta, rb_values, rc_values)
+                .split()
             )
 
         wb_poly = circuit.w_i_polynomial(circuit_evaluation, layer_index + 1)
         wc_poly = wb_poly  # wc == wb (gkr_protocol.rs:88-89)
 
-        fbc_polynomial = compute_fbc_polynomial(add_i_bc, mul_i_bc, wb_poly, wc_poly)
+        fbc_polynomial = layer_polynomial(add_i_bc, mul_i_bc, wb_poly, wc_poly)
         sumcheck_proof = gkr_sumcheck.prove(fbc_polynomial, claimed_sum, transcript)
         layer_proofs.append(sumcheck_proof)
 
         if layer_index < len(circuit.layers) - 1:
             sumcheck_challenges = sumcheck_proof.random_challenges
-            wb_evaluation, wc_evaluation = evaluate_wb_wc(
+            wb_evaluation, wc_evaluation = split_half_evaluations(
                 wb_poly, wc_poly, sumcheck_challenges
             )
             wb_evaluations.append(wb_evaluation)
@@ -136,29 +137,29 @@ def verify(circuit: Circuit, proof: Proof, inputs) -> bool:
             wc_evaluation = proof.wc_evaluations[layer_index]
         else:
             wb_poly = MultilinearPolynomial.from_ints(ctx, list(inputs))
-            wb_evaluation, wc_evaluation = evaluate_wb_wc(
+            wb_evaluation, wc_evaluation = split_half_evaluations(
                 wb_poly, wb_poly, sumcheck_challenges
             )
 
         if layer_index == 0:
-            expected_claim = compute_verifier_initial_claim(
+            expected_claim = expected_layer_claim(
                 circuit,
                 layer_index,
-                random_challenge_a,
                 sumcheck_challenges,
                 wb_evaluation,
                 wc_evaluation,
+                initial_random_challenge=random_challenge_a,
             )
         else:
-            expected_claim = compute_verifier_folded_claim(
+            expected_claim = expected_layer_claim(
                 circuit,
                 layer_index,
                 sumcheck_challenges,
-                prev_sumcheck_challenges,
                 wb_evaluation,
                 wc_evaluation,
-                alpha,
-                beta,
+                previous_sumcheck_challenges=prev_sumcheck_challenges,
+                alpha=alpha,
+                beta=beta,
             )
 
         if expected_claim != verify_result.last_claimed_sum:

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..transcript.keccak import keccak256_batch
+from ..transcript.keccak import keccak256_batch, merkle_levels
 
 
 class MerkleTree:
@@ -21,6 +21,16 @@ class MerkleTree:
         """leaves: [N, leaf_bytes] uint8, N a power of two."""
         n = leaves.shape[0]
         assert n > 0 and (n & (n - 1)) == 0, "leaf count must be a power of 2"
+        flat = merkle_levels(leaves)
+        if flat is not None:
+            # one native threaded call builds every level back to back
+            levels, off, width = [], 0, n
+            while width >= 1:
+                levels.append(flat[off : off + width])
+                off += width
+                width //= 2
+            self.levels = levels
+            return
         levels = [keccak256_batch(leaves)]
         while levels[-1].shape[0] > 1:
             cur = levels[-1]

@@ -27,22 +27,31 @@ RATE = 136  # bytes; Keccak-256 rate (1088 bits)
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 
 
+def _build_native(so: str, src: str) -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", so, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _load_native():
-    """Load (building if needed) the C++ keccak kernel; None if unavailable."""
-    so = os.path.join(_NATIVE_DIR, "libkeccak.so")
+    """Load (building if needed) the C++ keccak kernel; None if unavailable.
+
+    The binary name carries an ABI version so adding exports (e.g. the
+    ``merkle_build`` tree builder) forces a clean rebuild instead of dlopening
+    a stale library from an earlier source revision.
+    """
+    so = os.path.join(_NATIVE_DIR, "libkeccak_v2.so")
     src = os.path.join(_NATIVE_DIR, "keccak.cpp")
-    if not os.path.exists(so) and os.path.exists(src):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            return None
     if not os.path.exists(so):
-        return None
+        if not (os.path.exists(src) and _build_native(so, src)):
+            return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:
@@ -53,6 +62,12 @@ def _load_native():
         ctypes.c_uint64,
     ]
     lib.keccak256_many.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        ctypes.c_void_p,
+    ]
+    lib.merkle_build.argtypes = [
         ctypes.c_void_p,
         ctypes.c_uint64,
         ctypes.c_uint64,
@@ -185,10 +200,27 @@ def keccak256(data: bytes) -> bytes:
     return Keccak256().update(data).digest()
 
 
+def merkle_levels(leaves: np.ndarray) -> np.ndarray | None:
+    """Build every level of a binary Merkle tree in one native call.
+
+    leaves: [N, leaf_len] uint8, N a power of two.  Returns [2N-1, 32] uint8:
+    N leaf digests, then N/2 internal nodes, ..., then the root.  None when
+    the native library is unavailable (caller falls back to per-level
+    :func:`keccak256_batch`).
+    """
+    if _native is None:
+        return None
+    n, leaf_len = leaves.shape
+    msgs = np.ascontiguousarray(leaves.astype(np.uint8))
+    out = np.empty((2 * n - 1, 32), np.uint8)
+    _native.merkle_build(msgs.ctypes.data, n, leaf_len, out.ctypes.data)
+    return out
+
+
 def keccak256_batch(messages: np.ndarray) -> np.ndarray:
     """Hash N equal-length messages: [N, msg_len] uint8 -> [N, 32] uint8."""
     n, mlen = messages.shape
-    if _native is not None and n * mlen > 1 << 14:
+    if _native is not None and n * mlen > 1 << 8:
         msgs = np.ascontiguousarray(messages.astype(np.uint8))
         out = np.empty((n, 32), np.uint8)
         _native.keccak256_many(msgs.ctypes.data, n, mlen, out.ctypes.data)
