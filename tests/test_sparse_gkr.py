@@ -80,3 +80,37 @@ def test_sparse_tree_circuit():
     bad = list(inputs)
     bad[7] += 1
     assert not sparse.verify(circuit, proof, bad)
+
+
+def test_sparse_succinct_matches_dense():
+    """Sparse succinct GKR: identical proof bytes to the dense pipeline,
+    cross-verifiable both ways, KZG openings included."""
+    from tpu_zk.fields.arith import field_ctx
+    from tpu_zk.gkr import succinct
+    from tpu_zk.kzg.trusted_setup import TrustedSetup
+
+    FR = field_ctx("bls12_381_fr")
+    circuit = Circuit(FR, [
+        Layer([Gate.mul(0, 1, 0)]),
+        Layer([Gate.add(0, 1, 0), Gate.mul(2, 3, 1)]),
+    ])
+    inputs = [2, 3, 4, 5]
+    setup = TrustedSetup.initialize_setup("bls12_381", [5, 2])
+    p_sparse = sparse.prove_succinct(circuit, inputs, setup)
+    p_dense = succinct.prove_succinct(circuit, inputs, setup)
+    assert p_sparse.claimed_sum == p_dense.claimed_sum
+    assert p_sparse.input_polynomial_commitment == p_dense.input_polynomial_commitment
+    assert p_sparse.input_rb_proof == p_dense.input_rb_proof
+    assert p_sparse.input_rc_proof == p_dense.input_rc_proof
+    for a, b in zip(p_sparse.sumcheck_proofs, p_dense.sumcheck_proofs):
+        assert a.claimed_sum == b.claimed_sum
+        assert a.random_challenges == b.random_challenges
+        assert [q.coefficients for q in a.round_univariate_polynomials] == [
+            q.coefficients for q in b.round_univariate_polynomials
+        ]
+    # cross verification: each verifier accepts the other's proof
+    assert sparse.verify_succinct(circuit, p_dense, setup)
+    assert succinct.verify_succinct(circuit, p_sparse, setup)
+    # tampering caught
+    p_sparse.wb_evaluations[0] = (p_sparse.wb_evaluations[0] + 1) % FR.p
+    assert not sparse.verify_succinct(circuit, p_sparse, setup)

@@ -272,6 +272,148 @@ def prove(circuit: Circuit, inputs, fused: bool = True) -> Proof:
     )
 
 
+def prove_succinct(circuit: Circuit, inputs, trusted_setup, fused: bool = True):
+    """Succinct GKR (KZG-committed inputs) on the linear-time prover.
+
+    Same proof type / transcript bytes as ``succinct.prove_succinct``
+    (``gkr/src/succinct_gkr_protocol.rs:35-169``), but every layer runs the
+    two-phase sparse sumcheck, so 2^20+-input circuits never materialize a
+    dense wiring table.  ``inputs`` may be a host int list or a device
+    ``[N, L]`` Montgomery table.
+    """
+    from ..kzg import multilinear_kzg
+    from .succinct import SuccinctProof
+
+    ctx = circuit.ctx
+    vals = inputs if hasattr(inputs, "shape") else list(inputs)
+    circuit_evaluation = circuit.evaluate(vals, materialize=False)
+
+    input_polynomial = (
+        MultilinearPolynomial(ctx, vals)
+        if hasattr(vals, "shape")
+        else MultilinearPolynomial.from_ints(ctx, vals)
+    )
+    input_commitment = multilinear_kzg.commit_to_polynomial(input_polynomial, trusted_setup)
+
+    transcript = Transcript()
+    layer_proofs = []
+    wb_evaluations: list[int] = []
+    wc_evaluations: list[int] = []
+    alpha = beta = 0
+    rb_values: list[int] = []
+    rc_values: list[int] = []
+
+    w0_polynomial = _w0_padded(ctx, circuit_evaluation.output)
+    transcript.append(w0_polynomial.convert_to_bytes())
+    random_challenge_a = transcript.random_challenge_as_field_element(ctx)
+    claimed_sum = w0_polynomial.evaluate([random_challenge_a])
+
+    for layer_index in range(len(circuit.layers)):
+        wb_poly = circuit.w_i_polynomial(circuit_evaluation, layer_index + 1)
+        w_out = _out_weights(
+            ctx, circuit, layer_index, random_challenge_a, alpha, beta, rb_values, rc_values
+        )
+        sumcheck_proof = _layer_sumcheck(
+            ctx, circuit, layer_index, wb_poly, w_out, claimed_sum, transcript, fused
+        )
+        layer_proofs.append(sumcheck_proof)
+
+        # rb/rc retained from EVERY layer incl. the last (succinct_gkr :119-126)
+        sumcheck_challenges = sumcheck_proof.random_challenges
+        middle = len(sumcheck_challenges) // 2
+        rb_values = sumcheck_challenges[:middle]
+        rc_values = sumcheck_challenges[middle:]
+
+        if layer_index < len(circuit.layers) - 1:
+            wb_evaluation = wb_poly.evaluate(rb_values)
+            wc_evaluation = wb_poly.evaluate(rc_values)
+            wb_evaluations.append(wb_evaluation)
+            wc_evaluations.append(wc_evaluation)
+
+            transcript.append(ctx.to_bytes_be(wb_evaluation))
+            alpha = transcript.random_challenge_as_field_element(ctx)
+            transcript.append(ctx.to_bytes_be(wc_evaluation))
+            beta = transcript.random_challenge_as_field_element(ctx)
+            claimed_sum = (alpha * wb_evaluation + beta * wc_evaluation) % ctx.p
+
+    input_rb_proof = multilinear_kzg.open_and_prove(input_polynomial, trusted_setup, rb_values)
+    input_rc_proof = multilinear_kzg.open_and_prove(input_polynomial, trusted_setup, rc_values)
+
+    return SuccinctProof(
+        circuit_output=circuit_evaluation.output,
+        claimed_sum=claimed_sum,
+        sumcheck_proofs=layer_proofs,
+        wb_evaluations=wb_evaluations,
+        wc_evaluations=wc_evaluations,
+        input_polynomial_commitment=input_commitment,
+        input_rb_proof=input_rb_proof,
+        input_rc_proof=input_rc_proof,
+    )
+
+
+def verify_succinct(circuit: Circuit, proof, trusted_setup) -> bool:
+    """Sparse-wiring verify of a succinct proof + the two KZG opening checks
+    (``gkr/src/succinct_gkr_protocol.rs:172-284``)."""
+    from ..kzg import multilinear_kzg
+
+    ctx = circuit.ctx
+    transcript = Transcript()
+    alpha = beta = 0
+    prev_challenges: list[int] = []
+
+    w0_polynomial = _w0_padded(ctx, proof.circuit_output)
+    transcript.append(w0_polynomial.convert_to_bytes())
+    random_challenge_a = transcript.random_challenge_as_field_element(ctx)
+    claimed_sum = w0_polynomial.evaluate([random_challenge_a])
+
+    for layer_index in range(len(circuit.layers)):
+        if claimed_sum != proof.sumcheck_proofs[layer_index].claimed_sum % ctx.p:
+            return False
+        verify_result = gkr_sumcheck.verify(
+            proof.sumcheck_proofs[layer_index], transcript, ctx
+        )
+        if not verify_result.is_proof_valid:
+            return False
+        sumcheck_challenges = verify_result.random_challenges
+
+        wb_evaluation = 0
+        wc_evaluation = 0
+        if layer_index < len(circuit.layers) - 1:
+            wb_evaluation = proof.wb_evaluations[layer_index]
+            wc_evaluation = proof.wc_evaluations[layer_index]
+
+            mid = len(prev_challenges) // 2
+            w_out = _out_weights(
+                ctx, circuit, layer_index, random_challenge_a, alpha, beta,
+                prev_challenges[:mid], prev_challenges[mid:],
+            )
+            add_r, mul_r = _sparse_wiring_eval(
+                ctx, circuit, layer_index, w_out, sumcheck_challenges
+            )
+            expected_claim = (
+                add_r * (wb_evaluation + wc_evaluation)
+                + mul_r * (wb_evaluation * wc_evaluation)
+            ) % ctx.p
+            if expected_claim != verify_result.last_claimed_sum:
+                return False
+
+        prev_challenges = list(sumcheck_challenges)
+        transcript.append(ctx.to_bytes_be(wb_evaluation))
+        alpha = transcript.random_challenge_as_field_element(ctx)
+        transcript.append(ctx.to_bytes_be(wc_evaluation))
+        beta = transcript.random_challenge_as_field_element(ctx)
+        claimed_sum = (alpha * wb_evaluation + beta * wc_evaluation) % ctx.p
+
+    mid = len(prev_challenges) // 2
+    rb_values = prev_challenges[:mid]
+    rc_values = prev_challenges[mid:]
+    return multilinear_kzg.verify(
+        trusted_setup, proof.input_polynomial_commitment, rb_values, proof.input_rb_proof
+    ) and multilinear_kzg.verify(
+        trusted_setup, proof.input_polynomial_commitment, rc_values, proof.input_rc_proof
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _wiring_eval_jit(ctx: FieldCtx, w_out, rb, rc, lefts, rights, is_add):
     eq_b = _eq_table_from(ctx, rb)[lefts]
