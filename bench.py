@@ -192,14 +192,15 @@ def bench_fri(n_log2=18):
 
 
 def bench_sparse_gkr(depth=10):
-    """Linear-time GKR over a 2^depth-input reduction tree (config-5 shape)."""
+    """Fused linear-time GKR over a 2^depth-input reduction tree (config-5
+    shape): pooled per-size round programs, async device chaining."""
     import numpy as np
     import jax.numpy as jnp
 
     from tpu_zk.circuit.layered import ADD, tree_sum_circuit
     from tpu_zk.fields import arith
     from tpu_zk.fields.arith import field_ctx
-    from tpu_zk.gkr import sparse
+    from tpu_zk.gkr import fused_sparse
 
     ctx = field_ctx("bn254_fr")
     circuit = tree_sum_circuit(ctx, depth, op=ADD)
@@ -209,9 +210,9 @@ def bench_sparse_gkr(depth=10):
     r2 = jnp.asarray(arith._limbs_of_int(ctx.R2, ctx.L))
     table = arith.mont_mul(ctx, jnp.asarray(plain), r2)
 
-    sparse.prove(circuit, table)  # warmup/compile
+    fused_sparse.prove(circuit, table)  # warmup/compile
     t0 = time.perf_counter()
-    sparse.prove(circuit, table)
+    fused_sparse.prove(circuit, table)
     dt = time.perf_counter() - t0
     gates = n - 1
     log(f"sparse gkr prove 2^{depth}-input tree: {dt:.2f} s ({gates/dt:.0f} gates/s)")
@@ -230,14 +231,47 @@ SUITE_KEYS = [
 
 
 def main():
+    t_start = time.perf_counter()
+    # the tunnel's per-process attach costs minutes by itself; the budget
+    # below bounds *section* time so the driver's overall timeout is never
+    # hit mid-suite (rc=124 wiped the r2 record) -- sections that don't fit
+    # are skipped and their previous-round numbers carried forward.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
     log(f"devices: {jax.devices()}")
     results = {"platform": str(jax.devices()[0])}
-    results["sumcheck_round"] = bench_sumcheck_round()
-    results["full_sumcheck"] = bench_full_sumcheck()
-    results["ntt"] = bench_ntt()
-    results["msm"] = bench_msm()
-    results["fri"] = bench_fri()
-    results["gkr"] = bench_sparse_gkr()
+
+    prev_results = None
+    if os.path.exists(RESULTS_PATH):
+        try:
+            with open(RESULTS_PATH) as f:
+                prev_results = json.load(f)
+        except Exception:
+            prev_results = None
+
+    sections = [
+        ("sumcheck_round", bench_sumcheck_round),
+        ("gkr", bench_sparse_gkr),
+        ("fri", bench_fri),
+        ("msm", bench_msm),
+        ("ntt", bench_ntt),
+        ("full_sumcheck", bench_full_sumcheck),
+    ]
+    for name, fn in sections:
+        elapsed = time.perf_counter() - t_start
+        if elapsed > budget:
+            carried = (prev_results or {}).get(name)
+            log(f"SKIP {name}: {elapsed:.0f}s elapsed > {budget:.0f}s budget"
+                + (" (carrying previous result)" if carried else ""))
+            if carried:
+                results[name] = dict(carried, stale=True)
+            continue
+        try:
+            results[name] = fn()
+        except Exception as e:  # a broken section must not kill the record
+            log(f"FAIL {name}: {type(e).__name__}: {e}")
+            carried = (prev_results or {}).get(name)
+            if carried:
+                results[name] = dict(carried, stale=True)
 
     prev = None
     for path in (BASELINE_PATH, RESULTS_PATH):
@@ -252,7 +286,7 @@ def main():
     # headline: per-chip sumcheck round throughput (the BASELINE.json primary
     # metric); vs_baseline = geomean speedup of the whole kernel suite over
     # the previous recorded round, so every kernel's progress counts.
-    primary = results["sumcheck_round"]["sumcheck_elems_per_s"]
+    primary = results.get("sumcheck_round", {}).get("sumcheck_elems_per_s", 0.0)
     import math
 
     ratios = []

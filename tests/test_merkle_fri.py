@@ -69,3 +69,23 @@ def test_fri_rejects_tampered_query_value():
     proof = fri.prove(config, _codeword(config, coeffs), Transcript())
     proof.queries[0][0].value_lo = (proof.queries[0][0].value_lo + 1) % FR.p
     assert not fri.verify(config, proof, Transcript())
+
+
+def test_device_merkle_matches_host():
+    """Device-batched Keccak Merkle levels must be byte-identical to the host
+    tree (same leaf encoding, same pairing)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_zk.fields.arith import field_ctx
+    from tpu_zk.merkle.device_merkle import field_leaf_bytes, merkle_field_tree
+    from tpu_zk.merkle.merkle import MerkleTree
+
+    ctx = field_ctx("bn254_fr")
+    table = ctx.array([(i * 73 + 5) % ctx.p for i in range(64)])
+    levels = merkle_field_tree(ctx, table)
+    leaf_np = np.asarray(field_leaf_bytes(ctx, table)).astype(np.uint8)
+    host = MerkleTree(leaf_np)
+    assert len(levels) == len(host.levels)
+    for dev, hst in zip(levels, host.levels):
+        assert np.array_equal(np.asarray(dev).astype(np.uint8), hst)

@@ -73,3 +73,29 @@ def test_transcript_order_sensitivity():
     c = Transcript(); c.append(b"xy")
     d = Transcript(); d.append(b"x"); d.append(b"y")
     assert c.sample_random_challenge() == d.sample_random_challenge()
+
+
+def test_dynamic_sponge_matches_static():
+    """absorb_dyn/squeeze_dyn (traced buffer position) must emit the same
+    digests as the static-pos DeviceSponge and the host Transcript across
+    absorb sizes that do and don't cross the 136-byte rate boundary."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_zk.transcript.device_fs import DeviceSponge, absorb_dyn, squeeze_dyn
+    from tpu_zk.transcript.fiat_shamir import Transcript
+
+    host = Transcript()
+    sponge = DeviceSponge.fresh()
+    state, buf = sponge.state, sponge.buf
+    pos = jnp.int32(0)
+
+    rng = np.random.default_rng(7)
+    for k in (32, 96, 96, 17, 135, 96, 96, 96, 1, 136):
+        data = rng.integers(0, 256, size=k).astype(np.uint32)
+        host.append(bytes(data.astype(np.uint8).tobytes()))
+        state, buf, pos = absorb_dyn(state, buf, pos, jnp.asarray(data))
+        digest_host = host.sample_random_challenge()
+        digest, state, buf, pos = squeeze_dyn(state, buf, pos)
+        got = bytes(np.asarray(digest).astype(np.uint8).tobytes())
+        assert got == digest_host, f"mismatch after absorb of {k} bytes"

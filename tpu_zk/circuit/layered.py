@@ -148,6 +148,10 @@ class Circuit:
         return MultilinearPolynomial(self.ctx, circuit_evaluation.layer_tables[layer_index])
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
 def _eval_layer(ctx, current, lefts, rights, outs, ops, width: int):
     left_vals = jnp.take(current, lefts, axis=0)
     right_vals = jnp.take(current, rights, axis=0)

@@ -29,9 +29,8 @@ import numpy as np
 
 from ..fields import arith
 from ..fields.arith import FieldCtx, field_ctx
-from ..merkle.merkle import MerkleTree, verify_path
+from ..merkle.merkle import verify_path
 from ..ntt.ntt import _twiddle_table, find_root_of_unity
-from ..poly.multilinear import limbs_to_bytes_be
 from ..transcript.fiat_shamir import Transcript
 
 
@@ -57,10 +56,24 @@ def fold_codeword(
     return arith.add(ctx, even, arith.mont_mul(ctx, odd, beta))
 
 
-def _leaf_bytes(ctx: FieldCtx, codeword: jnp.ndarray) -> np.ndarray:
-    plain = arith.from_mont(ctx, codeword)
-    raw = limbs_to_bytes_be(ctx, plain)
-    return np.frombuffer(raw, np.uint8).reshape(codeword.shape[0], ctx.nbytes)
+@functools.partial(jax.jit, static_argnums=(0,))
+def _commit_round(ctx: FieldCtx, codeword, state, buf, pos, inv_x, inv2):
+    """One FRI commit round entirely on device: Merkle tree over the
+    codeword, absorb the root, squeeze beta, fold.  One compile per codeword
+    size (reused across rounds/configs); chains asynchronously."""
+    from ..merkle.device_merkle import field_leaf_bytes, merkle_levels_device
+    from ..transcript.device_fs import absorb_dyn, digest_to_mont, squeeze_dyn
+
+    levels = merkle_levels_device(field_leaf_bytes(ctx, codeword))
+    root = levels[-1][0]  # [32] uint32 bytes
+    state, buf, pos = absorb_dyn(state, buf, pos, root)
+    digest, state, buf, pos = squeeze_dyn(state, buf, pos)
+    beta = digest_to_mont(ctx, digest)
+    folded = fold_codeword(ctx, codeword, beta, inv_x, inv2)
+    # path levels flattened into one array so the query phase can open any
+    # (level, index) sibling with a single gather per round
+    flat = jnp.concatenate(levels[:-1])
+    return flat, root, folded, state, buf, pos
 
 
 @dataclass
@@ -111,6 +124,12 @@ class FriConfig:
             w = w * w % p
 
 
+def _level_offset(size: int, lvl: int) -> int:
+    """Start of digest level ``lvl`` in the flattened path-level array of a
+    ``size``-leaf tree (level i holds ``size >> i`` digests)."""
+    return 0 if lvl == 0 else 2 * size - (size >> (lvl - 1))
+
+
 def _query_indices(transcript: Transcript, num: int, domain_size: int) -> list[int]:
     out = []
     while len(out) < num:
@@ -123,34 +142,55 @@ def _query_indices(transcript: Transcript, num: int, domain_size: int) -> list[i
 
 
 def prove(config: FriConfig, codeword: jnp.ndarray, transcript: Transcript) -> FriProof:
-    """codeword: [N, L] Montgomery evaluations over the size-N domain."""
+    """codeword: [N, L] Montgomery evaluations over the size-N domain.
+
+    The commit phase runs entirely on device (``_commit_round``: Merkle tree,
+    root absorb, beta squeeze, fold -- all chained asynchronously); only the
+    roots, the final codeword, and the sponge state come back to the host.
+    The query phase batches every opened value and Merkle sibling into one
+    transfer.  r2's host-side loop moved ~2x the codeword per round through
+    the tunnel and took 3.8 s at 2^18; this path moves a few KB total.
+    """
+    from ..transcript.device_fs import DeviceSponge
+
     ctx = config.ctx
     assert codeword.shape[0] == 1 << config.domain_log2
 
+    # -- commit phase (device) -----------------------------------------------
+    sponge = DeviceSponge.from_host(transcript._hasher)
+    state, buf = sponge.state, sponge.buf
+    pos = jnp.int32(sponge.pos)
     codewords = [codeword]
-    trees: list[MerkleTree] = []
-    roots: list[bytes] = []
+    level_stack: list[jnp.ndarray] = []  # flattened path levels per round
+    root_list = []
     current = codeword
     for r in range(config.num_rounds):
-        tree = MerkleTree(_leaf_bytes(ctx, current))
-        trees.append(tree)
-        roots.append(tree.root)
-        transcript.append(tree.root)
-        beta = transcript.random_challenge_as_field_element(ctx)
-        current = fold_codeword(
-            ctx, current, ctx.scalar(beta), config._inv_x[r], config._inv2
+        flat, root, current, state, buf, pos = _commit_round(
+            ctx, current, state, buf, pos, config._inv_x[r], config._inv2
         )
+        level_stack.append(flat)
+        root_list.append(root)
         codewords.append(current)
 
-    final_codeword = ctx.to_ints(current)
-    if isinstance(final_codeword, int):
-        final_codeword = [final_codeword]
+    roots_h, final_plain, state_h, buf_h, pos_h = jax.device_get(
+        (jnp.stack(root_list), arith.from_mont(ctx, current), state, buf, pos)
+    )
+    roots = [bytes(np.asarray(r).astype(np.uint8).tobytes()) for r in roots_h]
+    transcript._hasher = DeviceSponge(None, None, int(pos_h)).to_host(
+        np.asarray(state_h), np.asarray(buf_h)
+    )
+
+    final_codeword = [
+        int.from_bytes(
+            np.asarray(final_plain[i]).astype(np.uint16)[::-1].astype(">u2").tobytes(),
+            "big",
+        )
+        for i in range(final_plain.shape[0])
+    ]
     for v in final_codeword:
         transcript.append(ctx.to_bytes_be(v))
 
-    # query phase: gather ONLY the opened positions from each codeword (one
-    # device gather + tiny to_ints per round) -- converting whole codewords
-    # to host ints was 90% of prove time at 2^18
+    # -- query phase: batch all gathers, ONE transfer ------------------------
     indices = _query_indices(transcript, config.num_queries, 1 << (config.domain_log2 - 1))
     tracked = list(indices)
     round_positions: list[list[int]] = []
@@ -159,27 +199,70 @@ def prove(config: FriConfig, codeword: jnp.ndarray, transcript: Transcript) -> F
         tracked = [i % half for i in tracked]
         round_positions.append(tracked)
 
-    round_values: list[list[int]] = []
+    value_gathers = []
+    sib_gathers = []  # one [n_open * n_levels, 32] gather per round
+    nlevels_per_round = []
     for r, positions in enumerate(round_positions):
-        half = 1 << (config.domain_log2 - r - 1)
+        size = 1 << (config.domain_log2 - r)
+        half = size // 2
         gather = jnp.asarray(
             [p for i in positions for p in (i, i + half)], dtype=jnp.int32
         )
-        round_values.append(ctx.to_ints(codewords[r][gather]))
+        value_gathers.append(arith.from_mont(ctx, codewords[r][gather]))
+        opened = np.asarray(
+            [p for i in positions for p in (i, i + half)], dtype=np.int64
+        )
+        nlevels = size.bit_length() - 1  # path levels (excludes the root)
+        nlevels_per_round.append(nlevels)
+        # offset of level l inside the flattened array: size + size/2 + ...
+        flat_idx = np.concatenate(
+            [_level_offset(size, lvl) + ((opened >> lvl) ^ 1) for lvl in range(nlevels)]
+        )
+        sib_gathers.append(level_stack[r][jnp.asarray(flat_idx, jnp.int32)])
+
+    values_all = jnp.concatenate(value_gathers)  # [rounds * n_open, L]
+    sibs_all = jnp.concatenate(sib_gathers)  # [sum, 32]
+    values_h, sibs_h = (
+        np.asarray(a) for a in jax.device_get((values_all, sibs_all))
+    )
+
+    n_open = 2 * len(indices)
+    round_values = []
+    for r in range(config.num_rounds):
+        chunk = values_h[r * n_open : (r + 1) * n_open]
+        round_values.append(
+            [
+                int.from_bytes(
+                    chunk[i].astype(np.uint16)[::-1].astype(">u2").tobytes(), "big"
+                )
+                for i in range(n_open)
+            ]
+        )
+    # regroup sibling digests: paths[round][opened slot] -> list of 32B bytes
+    paths: list[list[list[bytes]]] = []
+    base = 0
+    for r in range(config.num_rounds):
+        nlevels = nlevels_per_round[r]
+        block = sibs_h[base : base + n_open * nlevels].astype(np.uint8)
+        base += n_open * nlevels
+        slot_paths = [
+            [bytes(block[lvl * n_open + slot].tobytes()) for lvl in range(nlevels)]
+            for slot in range(n_open)
+        ]
+        paths.append(slot_paths)
 
     queries = []
     for q in range(len(indices)):
         rounds = []
         for r in range(config.num_rounds):
-            half = 1 << (config.domain_log2 - r - 1)
             index = round_positions[r][q]
             rounds.append(
                 FriQueryRound(
                     index=index,
                     value_lo=round_values[r][2 * q],
                     value_hi=round_values[r][2 * q + 1],
-                    path_lo=trees[r].open(index),
-                    path_hi=trees[r].open(index + half),
+                    path_lo=paths[r][2 * q],
+                    path_hi=paths[r][2 * q + 1],
                 )
             )
         queries.append(rounds)

@@ -1,0 +1,355 @@
+"""Fused linear-time GKR prover: zero host syncs inside the layer loop.
+
+``sparse.prove`` is dispatch/compile-bound, not math-bound: each layer's two
+phase sumchecks re-enter Python, re-seed the device sponge from the host
+transcript, and compile a *whole-proof* fused program per (layer, phase)
+shape -- at depth 20 that is ~40 large unrolled programs and ~446 gates/s
+measured (r2).  This module restructures the prover around a small pool of
+per-table-size programs that chain **asynchronously** on device:
+
+  - ``_round``      one sumcheck round (evals at t=0..2, interpolate, absorb
+                    LE, squeeze, fold) -- ONE compile per table size, reused
+                    across every layer, both phases, and both tree depths;
+  - ``_phase1`` / ``_phase2``   bookkeeping-table builds (segment sums over
+                    the sparse gate list, Libra phase split);
+  - ``_prologue0`` / ``_epilogue``  the w0 challenge and the alpha/beta
+                    claim-fold between layers.
+
+The Fiat-Shamir sponge position differs call-to-call, so the sponge ops carry
+it as a *traced* scalar (``transcript.device_fs.absorb_dyn/squeeze_dyn``) --
+this is what lets one compiled round program serve every call site.  The host
+drives the loop but never materializes a device value until the very end
+(one batched transfer assembles the Proof), so the ~25 ms tunnel round trip
+is paid once, not per round.
+
+Proof bytes and transcripts are bit-identical to ``sparse.prove`` and hence
+to the dense reference pipeline (``gkr/src/gkr_protocol.rs:26-143``);
+``tests/test_fused_sparse.py`` asserts equality.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit.layered import ADD, Circuit
+from ..fields import arith
+from ..fields.arith import FieldCtx
+from ..poly.multilinear import fold
+from ..poly.univariate import DenseUnivariatePolynomial
+from ..sumcheck.fused import _interpolate_mont, _round_evals_mont, _vandermonde_inv_mont
+from ..sumcheck.gkr_sumcheck import SumcheckProverProof
+from ..transcript.device_fs import (
+    DeviceSponge,
+    absorb_dyn,
+    digest_to_mont,
+    pack_bytes_be,
+    pack_bytes_le,
+    squeeze_dyn,
+)
+from ..transcript.fiat_shamir import Transcript
+from .protocol import Proof, _w0_padded
+from .sparse import _eq_table_from, mont_segment_sum
+
+
+# ---------------------------------------------------------------------------
+# device program pool (all dynamic-pos; one compile per distinct shape)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _prologue0(ctx: FieldCtx, w0_table, state, buf, pos):
+    """Squeeze ra, fold w0 at ra -> initial claimed sum (gkr_protocol.rs:49-55)."""
+    digest, state, buf, pos = squeeze_dyn(state, buf, pos)
+    ra = digest_to_mont(ctx, digest)
+    claim_m = fold(ctx, w0_table, 0, ra)[0]
+    return ra, claim_m, state, buf, pos
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _w_out0(ctx: FieldCtx, ra, outs):
+    """Layer-0 gate weights: eq(ra, out_g) (1-bit output variable)."""
+    return _eq_table_from(ctx, ra[None, :])[outs]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _w_out_fold(ctx: FieldCtx, rb, rc, alpha_m, beta_m, outs):
+    """alpha*eq(rb, out) + beta*eq(rc, out) per gate (utils.rs:23-68, sparsely)."""
+    a = arith.mont_mul(ctx, _eq_table_from(ctx, rb), alpha_m)
+    b = arith.mont_mul(ctx, _eq_table_from(ctx, rc), beta_m)
+    return arith.add(ctx, a, b)[outs]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _phase1(ctx: FieldCtx, w_table, w_out, lefts, rights, is_add, claim_m, state, buf, pos):
+    """Absorb the layer claim (BE) and build the phase-1 working set
+    [[w, A1+M1], [A2, 1]] from the sparse gate list."""
+    claim_p = arith.from_mont(ctx, claim_m)
+    state, buf, pos = absorb_dyn(state, buf, pos, pack_bytes_be(ctx, claim_p))
+    S = w_table.shape[0]
+    wr = arith.mont_mul(ctx, w_out, w_table[rights])
+    zero = jnp.zeros_like(wr)
+    a1 = mont_segment_sum(ctx, jnp.where(is_add, w_out, zero), lefts, S)
+    m1 = mont_segment_sum(ctx, jnp.where(is_add, zero, wr), lefts, S)
+    a2 = mont_segment_sum(ctx, jnp.where(is_add, wr, zero), lefts, S)
+    ones = jnp.broadcast_to(ctx.one_mont, (S, ctx.L))
+    stacked = jnp.stack(
+        [jnp.stack([w_table, arith.add(ctx, a1, m1)]), jnp.stack([a2, ones])]
+    )
+    return stacked, claim_p, state, buf, pos
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _phase2(ctx: FieldCtx, w_table, w_out, rb, lefts, rights, is_add, wb_star_m):
+    """Phase-2 working set [[A', w(b*)+w], [M'*w(b*), w]] with eq(b*, left)
+    folded into the gate weights."""
+    S = w_table.shape[0]
+    eq_b = _eq_table_from(ctx, rb)[lefts]
+    w_eq = arith.mont_mul(ctx, w_out, eq_b)
+    zero = jnp.zeros_like(w_eq)
+    a_p = mont_segment_sum(ctx, jnp.where(is_add, w_eq, zero), rights, S)
+    m_p = mont_segment_sum(ctx, jnp.where(is_add, zero, w_eq), rights, S)
+    w_plus = arith.add(ctx, w_table, wb_star_m)
+    m_scaled = arith.mont_mul(ctx, m_p, wb_star_m)
+    return jnp.stack([jnp.stack([a_p, w_plus]), jnp.stack([m_scaled, w_table])])
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _round(ctx: FieldCtx, stacked, state, buf, pos):
+    """One composed-sumcheck round: univariate at t=0..deg, interpolate to
+    coefficients, absorb LE bytes, squeeze, fold at the challenge.
+
+    Folds the challenge in unconditionally (unlike the whole-proof fused
+    program) so the [0,0]/[1,1] slots end fully evaluated at rb/rc."""
+    d = stacked.shape[1]
+    vinv = jnp.asarray(_vandermonde_inv_mont(ctx.name, d + 1))
+    evals_m = _round_evals_mont(ctx, stacked)
+    coeffs_p = arith.from_mont(ctx, _interpolate_mont(ctx, vinv, evals_m))
+    state, buf, pos = absorb_dyn(state, buf, pos, pack_bytes_le(ctx, coeffs_p))
+    digest, state, buf, pos = squeeze_dyn(state, buf, pos)
+    r = digest_to_mont(ctx, digest)
+    folded = fold(ctx, stacked, 0, r)
+    return coeffs_p, digest, r, folded, state, buf, pos
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _epilogue(ctx: FieldCtx, wb_m, wc_m, state, buf, pos):
+    """Absorb wb/wc evals (BE), squeeze alpha/beta, fold the next claim
+    (gkr_protocol.rs:125-132) -- claim stays in Montgomery form on device."""
+    wb_p = arith.from_mont(ctx, wb_m)
+    wc_p = arith.from_mont(ctx, wc_m)
+    state, buf, pos = absorb_dyn(state, buf, pos, pack_bytes_be(ctx, wb_p))
+    d1, state, buf, pos = squeeze_dyn(state, buf, pos)
+    alpha_m = digest_to_mont(ctx, d1)
+    state, buf, pos = absorb_dyn(state, buf, pos, pack_bytes_be(ctx, wc_p))
+    d2, state, buf, pos = squeeze_dyn(state, buf, pos)
+    beta_m = digest_to_mont(ctx, d2)
+    claim_m = arith.add(
+        ctx, arith.mont_mul(ctx, alpha_m, wb_m), arith.mont_mul(ctx, beta_m, wc_m)
+    )
+    return wb_p, wc_p, alpha_m, beta_m, claim_m, state, buf, pos
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+
+def _drive_layers(circuit: Circuit, ev, transcript: Transcript):
+    """Run every layer's two-phase sumcheck with async device chaining.
+
+    Returns per-layer record dicts of *device* arrays plus the final
+    (rb_stack, rc_stack, state, buf, pos) -- nothing is materialized.
+    """
+    ctx = circuit.ctx
+    sponge = DeviceSponge.from_host(transcript._hasher)
+    state, buf = sponge.state, sponge.buf
+    pos = jnp.int32(sponge.pos)
+
+    w0_table = ev.layer_tables[0]
+    if w0_table.shape[0] == 1:  # reference pads w0 to length 2 (:39-47)
+        w0_table = jnp.concatenate([w0_table, jnp.zeros_like(w0_table)])
+    ra, claim_m, state, buf, pos = _prologue0(ctx, w0_table, state, buf, pos)
+
+    records = []
+    alpha_m = beta_m = None
+    rb_st = rc_st = None
+    for layer_index, layer in enumerate(circuit.layers):
+        w_table = ev.layer_tables[layer_index + 1]
+        s = int(w_table.shape[0]).bit_length() - 1
+        lefts = jnp.asarray(layer.lefts)
+        rights = jnp.asarray(layer.rights)
+        outs = jnp.asarray(layer.outs)
+        is_add = jnp.asarray(layer.ops == ADD)[:, None]
+
+        if layer_index == 0:
+            w_out = _w_out0(ctx, ra, outs)
+        else:
+            w_out = _w_out_fold(ctx, rb_st, rc_st, alpha_m, beta_m, outs)
+
+        stacked, claim_p, state, buf, pos = _phase1(
+            ctx, w_table, w_out, lefts, rights, is_add, claim_m, state, buf, pos
+        )
+        coeffs1, digests1, rs1 = [], [], []
+        for _ in range(s):
+            c, dg, r, stacked, state, buf, pos = _round(ctx, stacked, state, buf, pos)
+            coeffs1.append(c)
+            digests1.append(dg)
+            rs1.append(r)
+        rb_st = jnp.stack(rs1)  # [s, L]
+        wb_m = stacked[0, 0, 0]
+
+        stacked = _phase2(ctx, w_table, w_out, rb_st, lefts, rights, is_add, wb_m)
+        coeffs2, digests2, rs2 = [], [], []
+        for _ in range(s):
+            c, dg, r, stacked, state, buf, pos = _round(ctx, stacked, state, buf, pos)
+            coeffs2.append(c)
+            digests2.append(dg)
+            rs2.append(r)
+        rc_st = jnp.stack(rs2)
+        wc_m = stacked[1, 1, 0]
+
+        rec = {
+            "s": s,
+            "claim_p": claim_p,
+            "coeffs": jnp.stack(coeffs1 + coeffs2),  # [2s, 3, L]
+            "digests": jnp.stack(digests1 + digests2),  # [2s, 32]
+        }
+        if layer_index < len(circuit.layers) - 1:
+            wb_p, wc_p, alpha_m, beta_m, claim_m, state, buf, pos = _epilogue(
+                ctx, wb_m, wc_m, state, buf, pos
+            )
+            rec["wb_p"] = wb_p
+            rec["wc_p"] = wc_p
+        records.append(rec)
+
+    return records, rb_st, rc_st, state, buf, pos
+
+
+def _limbs_to_int(ctx: FieldCtx, limbs: np.ndarray) -> int:
+    v = 0
+    for i in range(ctx.L - 1, -1, -1):
+        v = (v << 16) | int(limbs[i])
+    return v
+
+
+def _assemble(ctx: FieldCtx, records) -> tuple[list, list, list, int]:
+    """One batched transfer -> host proof pieces (sumcheck proofs, wb/wc
+    evals, final claimed sum).
+
+    Consolidates every layer's outputs into four device concatenations first:
+    fetching hundreds of small buffers individually costs one tunnel round
+    trip each, which at depth 10 was 5x the whole protocol's device time."""
+    all_coeffs = jnp.concatenate([r["coeffs"] for r in records])  # [R, 3, L]
+    all_digests = jnp.concatenate([r["digests"] for r in records])  # [R, 32]
+    all_claims = jnp.stack([r["claim_p"] for r in records])  # [layers, L]
+    evals = [r[k] for r in records if "wb_p" in r for k in ("wb_p", "wc_p")]
+    all_evals = (
+        jnp.stack(evals) if evals else jnp.zeros((0, ctx.L), jnp.uint32)
+    )  # [2*(layers-1), L]
+    coeffs_h, digests_h, claims_h, evals_h = (
+        np.asarray(a)
+        for a in jax.device_get((all_coeffs, all_digests, all_claims, all_evals))
+    )
+
+    layer_proofs = []
+    wb_evaluations, wc_evaluations = [], []
+    base = 0
+    for li, rec in enumerate(records):
+        s = rec["s"]
+        coeffs = coeffs_h[base : base + 2 * s]  # [2s, 3, L]
+        digests = digests_h[base : base + 2 * s]  # [2s, 32]
+        base += 2 * s
+        polys = [
+            DenseUnivariatePolynomial(
+                ctx, [_limbs_to_int(ctx, coeffs[i, j]) for j in range(coeffs.shape[1])]
+            )
+            for i in range(2 * s)
+        ]
+        challenges = [
+            ctx.from_le_bytes_mod_order(bytes(digests[i].astype(np.uint8).tobytes()))
+            for i in range(2 * s)
+        ]
+        layer_proofs.append(
+            SumcheckProverProof(
+                claimed_sum=_limbs_to_int(ctx, claims_h[li]),
+                round_univariate_polynomials=polys,
+                random_challenges=challenges,
+            )
+        )
+        if "wb_p" in rec:
+            wb_evaluations.append(_limbs_to_int(ctx, evals_h[2 * li]))
+            wc_evaluations.append(_limbs_to_int(ctx, evals_h[2 * li + 1]))
+
+    # final claimed sum (only consumed by Proof.claimed_sum): alpha*wb+beta*wc
+    # of the last non-final layer == claim entering the last layer
+    final_claim = layer_proofs[-1].claimed_sum if layer_proofs else 0
+    return layer_proofs, wb_evaluations, wc_evaluations, final_claim
+
+
+def prove(circuit: Circuit, inputs) -> Proof:
+    """Drop-in replacement for ``sparse.prove`` (identical Proof bytes)."""
+    ctx = circuit.ctx
+    vals = inputs if hasattr(inputs, "shape") else list(inputs)
+    ev = circuit.evaluate(vals, materialize=False)
+
+    transcript = Transcript()
+    w0_polynomial = _w0_padded(ctx, ev.output)
+    transcript.append(w0_polynomial.convert_to_bytes())
+
+    records, _, _, _, _, _ = _drive_layers(circuit, ev, transcript)
+    layer_proofs, wb_evals, wc_evals, final_claim = _assemble(ctx, records)
+    return Proof(
+        circuit_output=ev.output,
+        claimed_sum=final_claim,
+        sumcheck_proofs=layer_proofs,
+        wb_evaluations=wb_evals,
+        wc_evaluations=wc_evals,
+    )
+
+
+def prove_succinct(circuit: Circuit, inputs, trusted_setup):
+    """Fused-prover succinct GKR (same bytes as ``sparse.prove_succinct``)."""
+    from ..kzg import multilinear_kzg
+    from ..poly.multilinear import MultilinearPolynomial
+    from .succinct import SuccinctProof
+
+    ctx = circuit.ctx
+    vals = inputs if hasattr(inputs, "shape") else list(inputs)
+    ev = circuit.evaluate(vals, materialize=False)
+
+    input_polynomial = (
+        MultilinearPolynomial(ctx, vals)
+        if hasattr(vals, "shape")
+        else MultilinearPolynomial.from_ints(ctx, vals)
+    )
+    input_commitment = multilinear_kzg.commit_to_polynomial(input_polynomial, trusted_setup)
+
+    transcript = Transcript()
+    w0_polynomial = _w0_padded(ctx, ev.output)
+    transcript.append(w0_polynomial.convert_to_bytes())
+
+    records, _, _, _, _, _ = _drive_layers(circuit, ev, transcript)
+    layer_proofs, wb_evals, wc_evals, final_claim = _assemble(ctx, records)
+
+    # rb/rc of the LAST layer (succinct_gkr_protocol.rs:119-126)
+    last = layer_proofs[-1]
+    mid = len(last.random_challenges) // 2
+    rb_values = last.random_challenges[:mid]
+    rc_values = last.random_challenges[mid:]
+    input_rb_proof = multilinear_kzg.open_and_prove(input_polynomial, trusted_setup, rb_values)
+    input_rc_proof = multilinear_kzg.open_and_prove(input_polynomial, trusted_setup, rc_values)
+
+    return SuccinctProof(
+        circuit_output=ev.output,
+        claimed_sum=final_claim,
+        sumcheck_proofs=layer_proofs,
+        wb_evaluations=wb_evals,
+        wc_evaluations=wc_evals,
+        input_polynomial_commitment=input_commitment,
+        input_rb_proof=input_rb_proof,
+        input_rc_proof=input_rc_proof,
+    )

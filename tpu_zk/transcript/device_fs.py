@@ -205,6 +205,60 @@ class DeviceSponge:
         return r, sponge
 
 
+# ---------------------------------------------------------------------------
+# dynamic-position sponge ops
+# ---------------------------------------------------------------------------
+#
+# ``DeviceSponge`` requires the buffer fill level to be a Python int fixed at
+# trace time, which forces one compiled program per (shape, pos) pair.  The
+# fused sparse-GKR prover reuses ONE compiled round program per table size
+# across all layers/phases, where ``pos`` differs call to call -- so these
+# variants carry ``pos`` as a *traced* int32 scalar.  Invariant: ``buf`` is a
+# [RATE] uint32 byte array with ``buf[pos:] == 0``.
+
+
+def absorb_dyn(state: jnp.ndarray, buf: jnp.ndarray, pos: jnp.ndarray, data: jnp.ndarray):
+    """Absorb ``data`` ([k] uint32 bytes, k static and <= RATE) at traced pos.
+
+    Returns (state, buf, pos).  Since pos < RATE and k <= RATE, at most one
+    block boundary is crossed, resolved with a single ``lax.cond``.
+    """
+    k = data.shape[0]
+    assert k <= RATE
+    combined = jnp.zeros((2 * RATE,), _U32).at[:RATE].set(buf)
+    combined = jax.lax.dynamic_update_slice(combined, data.astype(_U32), (pos,))
+    total = pos + k
+
+    def with_perm(args):
+        st, comb = args
+        lanes = _pack_lanes(comb[:RATE])
+        st = st.at[: RATE // 8].set(st[: RATE // 8] ^ lanes)
+        return keccak_f1600_device(st), comb[RATE:]
+
+    def no_perm(args):
+        st, comb = args
+        return st, comb[:RATE]
+
+    state, buf = jax.lax.cond(total >= RATE, with_perm, no_perm, (state, combined))
+    pos = total - jnp.where(total >= RATE, RATE, 0)
+    return state, buf, pos
+
+
+def squeeze_dyn(state: jnp.ndarray, buf: jnp.ndarray, pos: jnp.ndarray):
+    """Clone-finalize-reabsorb at traced pos: returns ([32] digest bytes,
+    state, buf, pos) -- same semantics as ``DeviceSponge.squeeze``."""
+    iota = jnp.arange(RATE, dtype=jnp.int32)
+    pad = jnp.where(iota == pos, np.uint32(0x01), np.uint32(0)).astype(_U32)
+    pad = pad.at[RATE - 1].set(pad[RATE - 1] | np.uint32(0x80))
+    padded = buf ^ pad
+    lanes = _pack_lanes(padded)
+    clone = state.at[: RATE // 8].set(state[: RATE // 8] ^ lanes)
+    clone = keccak_f1600_device(clone)
+    digest = _lanes_to_bytes(clone[:4])
+    state, buf, pos = absorb_dyn(state, buf, pos, digest)
+    return digest, state, buf, pos
+
+
 def digest_to_mont(ctx: FieldCtx, digest: jnp.ndarray) -> jnp.ndarray:
     """[32] uint32 LE digest bytes -> Montgomery [L] limbs of digest mod p.
 
