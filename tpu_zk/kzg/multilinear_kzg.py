@@ -68,20 +68,22 @@ def open_and_prove(
     v_mont = fr.scalar(evaluation_v)
     sub_table = arith.sub(fr, polynomial.table, v_mont)
 
+    from ..poly.multilinear import fold
+
+    # The reference blows each quotient up to full length and MSMs against
+    # all g1 powers (multilinear_kzg.rs:100-107,181-209); MSM i here runs the
+    # *short* quotient against the precomputed folded bases H_i -- the same
+    # group element (sum regrouped by associativity), at 1/n the points.
+    folded_bases = trusted_setup.folded_g1_bases()
     proofs = []
-    N = sub_table.shape[0]
     for i, opening in enumerate(opening_values):
         half = sub_table.shape[0] // 2
         quotient = arith.sub(fr, sub_table[half:], sub_table[:half])
-        # blow up: duplicate the whole vector 2^(i+1) times to full length N
-        blown = jnp.tile(quotient, (N // quotient.shape[0], 1))
         proof_point = msm_pippenger(
-            dc.ctx, dc.b3, (trusted_setup.g1_powers_of_tau, arith.from_mont(fr, blown))
+            dc.ctx, dc.b3, (folded_bases[i], arith.from_mont(fr, quotient))
         )
         proofs.append(dc.point_to_host(proof_point))
         # remainder: fold the first variable at the opening value
-        from ..poly.multilinear import fold
-
         sub_table = fold(fr, sub_table, 0, fr.scalar(opening))
 
     return MultilinearKZGProof(evaluation=evaluation_v, proofs=proofs)
