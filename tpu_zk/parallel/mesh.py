@@ -9,12 +9,51 @@ with XLA GSPMD inserting psum/all-gather collectives over ICI.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialize the multi-host (DCN) runtime if configured; else no-op.
+
+    On a multi-host TPU slice every host runs the same program;
+    ``jax.distributed.initialize`` wires the hosts so ``jax.devices()``
+    spans the whole slice and GSPMD collectives ride ICI within the slice
+    and DCN across slices.  Configuration comes from the arguments or the
+    standard env vars (``JAX_COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``,
+    ``JAX_PROCESS_ID``); with none present (single-host dev, CI, the
+    virtual CPU mesh) this is a no-op returning False.
+
+    Fiat-Shamir determinism replaces challenge broadcast: every host
+    derives identical challenges from identical absorbed bytes, so no
+    explicit cross-host communication exists outside XLA collectives
+    (SURVEY.md section 5, "Distributed communication backend").
+    """
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num_processes
+        if num_processes is not None
+        else int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=process_id
+        if process_id is not None
+        else int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
+    return True
+
+
 def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    """1-D mesh over up to ``n_devices`` devices (all hosts' devices after
+    :func:`init_distributed` on a multi-host slice)."""
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis_name,))
