@@ -191,6 +191,62 @@ def bench_fri(n_log2=18):
     return {"fri_prove_s": dt, "fri_elems_per_s": n / dt, "n_log2": n_log2}
 
 
+def bench_msm_large(n_log2=20, curve="bls12_381"):
+    """Config-4 scale MSM (2^20 points, the KZG-commit shape)."""
+    return bench_msm(n_log2=n_log2, curve=curve)
+
+
+def bench_kzg(n_log2=18):
+    """Multilinear KZG commit + open + verify at 2^n evaluations
+    (config 4; reference multilinear_kzg.rs:25-158)."""
+    import numpy as np
+
+    from tpu_zk.fields import arith
+    from tpu_zk.kzg import multilinear_kzg
+    from tpu_zk.kzg.trusted_setup import TrustedSetup
+    from tpu_zk.poly.multilinear import MultilinearPolynomial
+
+    taus = [(i * 7919 + 13) % 1000003 for i in range(n_log2)]
+    t0 = time.perf_counter()
+    setup = TrustedSetup.initialize_setup("bls12_381", taus)
+    setup.folded_g1_bases()
+    force(setup.g1_powers_of_tau)
+    t_setup = time.perf_counter() - t0
+
+    fr = setup.curve.fr
+    n = 1 << n_log2
+    limbs = np.zeros((n, fr.L), np.uint32)
+    limbs[:, 0] = (np.arange(n) * 31 + 7) % 65521
+    import jax.numpy as jnp
+
+    r2 = jnp.asarray(arith._limbs_of_int(fr.R2, fr.L))
+    poly = MultilinearPolynomial(fr, arith.mont_mul(fr, jnp.asarray(limbs), r2))
+    opening = [(i * 104729 + 3) % fr.p for i in range(n_log2)]
+
+    t0 = time.perf_counter()
+    commitment = multilinear_kzg.commit_to_polynomial(poly, setup)
+    t_commit = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    proof = multilinear_kzg.open_and_prove(poly, setup, opening)
+    t_open = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = multilinear_kzg.verify(setup, commitment, opening, proof)
+    t_verify = time.perf_counter() - t0
+    assert ok, "kzg verify failed"
+    log(
+        f"kzg 2^{n_log2}: setup {t_setup:.2f} s, commit {t_commit:.2f} s, "
+        f"open {t_open:.2f} s, verify {t_verify:.2f} s"
+    )
+    return {
+        "kzg_setup_s": t_setup,
+        "kzg_commit_s": t_commit,
+        "kzg_open_s": t_open,
+        "kzg_verify_s": t_verify,
+        "kzg_open_evals_per_s": n / t_open,
+        "n_log2": n_log2,
+    }
+
+
 def bench_sparse_gkr(depth=10):
     """Fused linear-time GKR over a 2^depth-input reduction tree (config-5
     shape): pooled per-size round programs, async device chaining."""
@@ -222,12 +278,42 @@ def bench_sparse_gkr(depth=10):
 # (section, throughput key) pairs folded into the headline geomean
 SUITE_KEYS = [
     ("sumcheck_round", "sumcheck_elems_per_s"),
+    ("sumcheck_round_24", "sumcheck_elems_per_s"),
     ("full_sumcheck", "rounds_per_s"),
     ("ntt", "ntt_elems_per_s"),
     ("msm", "msm_points_per_s"),
+    ("msm_20", "msm_points_per_s"),
+    ("kzg", "kzg_open_evals_per_s"),
     ("fri", "fri_elems_per_s"),
     ("gkr", "gkr_gates_per_s"),
 ]
+
+
+def write_speed_of_light(results: dict) -> None:
+    """Emit benchmarks/speed_of_light.md: each kernel vs its roofline."""
+    from tpu_zk.utils import roofline as rl
+
+    rows = []
+    specs = [
+        ("sumcheck_round", "sumcheck_round_s", lambda r: rl.sumcheck_round_model(r["n_log2"])),
+        ("sumcheck_round_24", "sumcheck_round_s", lambda r: rl.sumcheck_round_model(r["n_log2"])),
+        ("ntt", "ntt_forward_s", lambda r: rl.ntt_model(r["n_log2"])),
+        ("msm", "msm_s", lambda r: rl.msm_model(r["n_log2"], 30 if r.get("curve") == "bls12_381" else 20)),
+        ("msm_20", "msm_s", lambda r: rl.msm_model(r["n_log2"], 30 if r.get("curve") == "bls12_381" else 20)),
+        ("fri", "fri_prove_s", lambda r: rl.fri_model(r["n_log2"], r["n_log2"] - 4)),
+        ("gkr", "gkr_prove_s", lambda r: rl.gkr_layer_model(r["depth"])),
+    ]
+    for section, time_key, model_fn in specs:
+        r = results.get(section)
+        if not r or time_key not in r:
+            continue
+        row = model_fn(r).row(r[time_key])
+        rows.append(row)
+        log(f"SoL {row['kernel']}: {row['pct_of_sol']:.1f}% of roofline ({row['bound']}-bound)")
+    if rows:
+        path = os.path.join(os.path.dirname(__file__), "benchmarks", "speed_of_light.md")
+        with open(path, "w") as f:
+            f.write(rl.render_markdown(rows))
 
 
 def main():
@@ -255,6 +341,9 @@ def main():
         ("msm", bench_msm),
         ("ntt", bench_ntt),
         ("full_sumcheck", bench_full_sumcheck),
+        ("sumcheck_round_24", lambda: bench_sumcheck_round(n_log2=24, iters=2)),
+        ("msm_20", bench_msm_large),
+        ("kzg", bench_kzg),
     ]
     for name, fn in sections:
         elapsed = time.perf_counter() - t_start
@@ -301,6 +390,11 @@ def main():
     os.makedirs(os.path.dirname(RESULTS_PATH), exist_ok=True)
     with open(RESULTS_PATH, "w") as f:
         json.dump(results, f, indent=2)
+
+    try:
+        write_speed_of_light(results)
+    except Exception as e:
+        log(f"speed-of-light table failed: {type(e).__name__}: {e}")
 
     print(
         json.dumps(

@@ -55,17 +55,58 @@ def test_checkpoint_resume_bit_identical():
     assert basic.Verifier.init().verify(proof)
 
 
-def test_counters():
+def test_counters_bump_mul():
     counters.enable(True)
     counters.reset()
     ctx = FQ
+    import jax
+
     from tpu_zk.fields import arith
 
     a = ctx.array([1, 2, 3, 4])
+    jax.clear_caches()  # force a retrace so trace-time bumps fire
     arith.mont_mul(ctx, a, a)
     s = counters.summary()
     counters.enable(False)
-    assert s.get("bn254_fq", {}).get("mul", 0) >= 4 or s == {}  # jit may cache
+    assert s.get("bn254_fq", {}).get("mul", 0) >= 4
+
+
+def test_counters_match_field_tracker_basic_sumcheck():
+    """Cross-check op counts against the reference's field-tracker numbers.
+
+    The reference instruments the basic sumcheck with field-tracker
+    (``sumcheck_protocol/src/basic_sumcheck/protocol.rs:42-55``); its prover
+    over a 2^n table performs analytically (``prover.rs:35-89``):
+      mul: 2^n - 1   (partial_evaluate lerp, n rounds of halving tables)
+      sub: 2^n - 1   (same lerp)
+      add: 2^{n+2} - 2n - 4  (init sum + per-round half sums + lerp adds)
+
+    Vectorization accounting for our pipeline (exact, not fuzzy):
+      mul: +2 -- the device Montgomery demotion of the first round univariate
+           counts 2 (round0_univariate); the reference has no Montgomery form.
+      sub: -1 -- we skip the final fold of the 2-entry table (its result is
+           dead; the reference folds it anyway).  Same -1 applies to mul,
+           net mul offset = +2 - 1 + 1 (demotion of init claim) = +2.
+      add: +2n -- each of the n+1 vectorized sum-reductions counts N elements
+           where the reference counts N-1 or N-2 scalar adds.
+    """
+    import jax
+
+    ctx = field_ctx("bn254_fr")
+    for n in (6, 8):
+        poly = MultilinearPolynomial.from_ints(ctx, [(i * 7 + 3) % 97 for i in range(1 << n)])
+        counters.enable(True)
+        counters.reset()
+        jax.clear_caches()
+        basic.Prover(poly).prove(fused=False)
+        s = counters.summary()["bn254_fr"]
+        counters.enable(False)
+        ref_mul = (1 << n) - 1
+        ref_sub = (1 << n) - 1
+        ref_add = (1 << (n + 2)) - 2 * n - 4
+        assert s["mul"] == ref_mul + 2, (n, s, ref_mul)
+        assert s["sub"] == ref_sub - 1, (n, s, ref_sub)
+        assert s["add"] == ref_add + 2 * n, (n, s, ref_add)
 
 
 def test_msm_pippenger_matches_host():
@@ -96,3 +137,33 @@ def test_msm_digit_extraction_windows():
         d = np.asarray(_digits(limbs, c))[0]
         rebuilt = sum(int(v) << (c * i) for i, v in enumerate(d))
         assert rebuilt == s
+
+
+def test_sparse_gkr_checkpoint_resume_bit_identical():
+    from tpu_zk.circuit.layered import ADD, tree_sum_circuit
+    from tpu_zk.gkr import sparse
+    from tpu_zk.utils.checkpoint import CheckpointableSparseGkrProver
+
+    ctx = field_ctx("bls12_381_fr")
+    circuit = tree_sum_circuit(ctx, 4, op=ADD)
+    inputs = [(i * 13 + 5) % 89 for i in range(16)]
+
+    reference_proof = sparse.prove(circuit, inputs)
+
+    prover = CheckpointableSparseGkrProver(circuit, inputs)
+    assert prover.run(max_layers=2) is None  # paused mid-proof
+    blob = prover.save()
+
+    resumed = CheckpointableSparseGkrProver.load(circuit, blob)
+    proof = resumed.run()
+    assert proof is not None
+    assert proof.claimed_sum == reference_proof.claimed_sum
+    assert proof.wb_evaluations == reference_proof.wb_evaluations
+    assert proof.wc_evaluations == reference_proof.wc_evaluations
+    for a, b in zip(proof.sumcheck_proofs, reference_proof.sumcheck_proofs):
+        assert a.claimed_sum == b.claimed_sum
+        assert a.random_challenges == b.random_challenges
+        assert [q.coefficients for q in a.round_univariate_polynomials] == [
+            q.coefficients for q in b.round_univariate_polynomials
+        ]
+    assert sparse.verify(circuit, proof, inputs)

@@ -1,0 +1,157 @@
+"""Speed-of-light (roofline) model for the hot kernels on TPU v5e.
+
+The reference ships only field-op *counting* (field-tracker; SURVEY.md
+section 5 "Tracing / profiling"); production kernels need the next step: how
+far is each kernel from what the chip can physically do.  For every benched
+kernel this module computes
+
+  - bytes moved through HBM (reads + writes of the limb tables),
+  - useful u32 limb multiplies and adds (the VPU work an ideal schedule
+    would retire -- Montgomery CIOS is 2*L^2 multiplies per field mul),
+  - the memory-bound and compute-bound time floors, whose max is the
+    roofline, and the kernel's achieved fraction of it.
+
+Hardware constants are engineering estimates for TPU v5e (one chip):
+HBM ~819 GB/s (public spec); VPU lanes 8x128 with ~4 simple int ALU ops or
+~1 32-bit multiply per lane-cycle at ~1.5 GHz -> ~6.1e12 add/s, ~1.5e12
+mul/s.  They bound from above, so "% of speed of light" is conservative.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+HBM_BYTES_PER_S = 819e9
+VPU_U32_MUL_PER_S = 1.5e12
+VPU_U32_ADD_PER_S = 6.1e12
+
+
+@dataclass
+class KernelModel:
+    name: str
+    bytes_moved: float
+    u32_muls: float
+    u32_adds: float
+
+    @property
+    def t_memory(self) -> float:
+        return self.bytes_moved / HBM_BYTES_PER_S
+
+    @property
+    def t_compute(self) -> float:
+        return self.u32_muls / VPU_U32_MUL_PER_S + self.u32_adds / VPU_U32_ADD_PER_S
+
+    @property
+    def t_roofline(self) -> float:
+        return max(self.t_memory, self.t_compute)
+
+    def row(self, measured_s: float) -> dict:
+        return {
+            "kernel": self.name,
+            "bytes_moved": self.bytes_moved,
+            "u32_muls": self.u32_muls,
+            "u32_adds": self.u32_adds,
+            "t_memory_ms": self.t_memory * 1e3,
+            "t_compute_ms": self.t_compute * 1e3,
+            "t_roofline_ms": self.t_roofline * 1e3,
+            "t_measured_ms": measured_s * 1e3,
+            "pct_of_sol": 100.0 * self.t_roofline / measured_s if measured_s else 0.0,
+            "bound": "memory" if self.t_memory >= self.t_compute else "compute",
+        }
+
+
+def _mont_mul_ops(n_elems: float, L: int) -> tuple[float, float]:
+    """CIOS Montgomery multiply: ~2*L^2 u32 muls and ~4*L^2 adds/shifts."""
+    return 2.0 * L * L * n_elems, 4.0 * L * L * n_elems
+
+
+def sumcheck_round_model(n_log2: int, L: int = 16) -> KernelModel:
+    """Fused fold + half-sums at 2^n: read N rows, write N/2, one mont_mul +
+    one sub + one add per pair, plus the N/2-element half-sum reduction."""
+    N = 1 << n_log2
+    mul_m, add_m = _mont_mul_ops(N / 2, L)
+    return KernelModel(
+        name=f"sumcheck_round 2^{n_log2}",
+        bytes_moved=(N + N / 2) * L * 4,
+        u32_muls=mul_m,
+        u32_adds=add_m + 3 * (N / 2) * L,  # lerp sub/add + lazy half sums
+    )
+
+
+def ntt_model(n_log2: int, L: int = 16, passes: int = 3) -> KernelModel:
+    """Multi-pass Bailey NTT: each pass streams the table once and performs
+    log2(N)/passes butterfly stages in VMEM (1 mont_mul + add + sub each)."""
+    N = 1 << n_log2
+    stages = n_log2
+    mul_m, add_m = _mont_mul_ops(N / 2 * stages, L)
+    # pre-twiddle multiplies for passes >= 1
+    mul_t, add_t = _mont_mul_ops(N * (passes - 1), L)
+    return KernelModel(
+        name=f"ntt fwd 2^{n_log2}",
+        bytes_moved=2.0 * N * L * 4 * passes,
+        u32_muls=mul_m + mul_t,
+        u32_adds=add_m + add_t + 2 * (N / 2) * stages * L,
+    )
+
+
+def msm_model(n_log2: int, L13: int = 20) -> KernelModel:
+    """Pippenger signed-digit MSM: ~53 complete EC adds per point (52 digit
+    windows + tail), each 12 Montgomery multiplies in the radix-2^13 domain."""
+    N = 1 << n_log2
+    ec_adds = 53.0 * N
+    mul_m, add_m = _mont_mul_ops(12.0 * ec_adds, L13)
+    return KernelModel(
+        name=f"msm 2^{n_log2}",
+        bytes_moved=N * (3 + 1) * L13 * 4,  # points + scalar codes, one pass
+        u32_muls=mul_m,
+        u32_adds=add_m + 12 * ec_adds * L13,
+    )
+
+
+def fri_model(n_log2: int, rounds: int, L: int = 16) -> KernelModel:
+    """FRI commit: per round hash the codeword (Keccak, ~38 u32 ops/byte/24
+    rounds ~ 900 op/32B lane) + fold to half size (1 mont_mul per pair)."""
+    total_elems = sum((1 << (n_log2 - r)) for r in range(rounds))
+    mul_m, add_m = _mont_mul_ops(total_elems / 2, L)
+    keccak_ops = total_elems * 32 * 60  # ~60 u32 ops per state byte
+    return KernelModel(
+        name=f"fri prove 2^{n_log2}",
+        bytes_moved=3.0 * total_elems * L * 4,
+        u32_muls=mul_m,
+        u32_adds=add_m + keccak_ops,
+    )
+
+
+def gkr_layer_model(depth: int, L: int = 16) -> KernelModel:
+    """Sparse GKR tree prove: per layer two phase-table builds (~5 mont_muls
+    per gate) + 2s sumcheck rounds over [2,2,S] working sets (t=0..2 evals +
+    fold: ~16 mont_muls per row per round)."""
+    gates = (1 << depth) - 1
+    rows = sum((1 << s) * 2 * s * 16 for s in range(1, depth + 1))  # round work
+    mul_m, add_m = _mont_mul_ops(5.0 * gates + rows / 4, L)
+    return KernelModel(
+        name=f"sparse gkr 2^{depth} tree",
+        bytes_moved=rows * L * 4,
+        u32_muls=mul_m,
+        u32_adds=add_m,
+    )
+
+
+def render_markdown(rows: list[dict]) -> str:
+    out = [
+        "# Speed-of-light table (TPU v5e, one chip)",
+        "",
+        "Generated by `bench.py`.  Roofline = max(memory floor, compute floor);",
+        f"model constants: HBM {HBM_BYTES_PER_S/1e9:.0f} GB/s, VPU ~{VPU_U32_MUL_PER_S/1e12:.1f}e12 u32 mul/s, ~{VPU_U32_ADD_PER_S/1e12:.1f}e12 u32 add/s.",
+        "",
+        "| kernel | bound | bytes | u32 muls | roofline (ms) | measured (ms) | % of SoL |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        out.append(
+            f"| {r['kernel']} | {r['bound']} | {r['bytes_moved']/1e6:.0f} MB "
+            f"| {r['u32_muls']/1e9:.2f} G | {r['t_roofline_ms']:.2f} "
+            f"| {r['t_measured_ms']:.2f} | {r['pct_of_sol']:.1f}% |"
+        )
+    out.append("")
+    return "\n".join(out)
