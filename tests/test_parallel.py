@@ -59,102 +59,3 @@ def test_sharded_msm_matches_host():
     got = sharded_msm(dc, mesh, points, scalars)
     expected_k = sum(k * s for k, s in zip(ks, scalars))
     assert got == hc.g1_affine(hc.g1_mul(g, expected_k))
-
-
-def test_sharded_sparse_gkr_matches_fused():
-    """Gates + working set sharded over 8 devices: proof bytes must equal the
-    single-device fused prover's (and hence the reference pipeline's)."""
-    from tpu_zk.circuit.layered import ADD, MUL, tree_sum_circuit
-    from tpu_zk.gkr import fused_sparse, sparse
-    from tpu_zk.parallel import sharded_gkr
-
-    fr = field_ctx("bls12_381_fr")
-    mesh = make_mesh(8)
-
-    circuit = tree_sum_circuit(fr, 6, op=ADD)
-    inputs = [(i * 13 + 5) % 89 for i in range(64)]
-    ps = sharded_gkr.prove(circuit, inputs, mesh)
-    pf = fused_sparse.prove(circuit, inputs)
-    assert ps.claimed_sum == pf.claimed_sum
-    assert ps.wb_evaluations == pf.wb_evaluations
-    assert ps.wc_evaluations == pf.wc_evaluations
-    for pa, pb in zip(ps.sumcheck_proofs, pf.sumcheck_proofs):
-        assert pa.claimed_sum == pb.claimed_sum
-        assert pa.random_challenges == pb.random_challenges
-        assert [q.coefficients for q in pa.round_univariate_polynomials] == [
-            q.coefficients for q in pb.round_univariate_polynomials
-        ]
-    assert sparse.verify(circuit, ps, inputs)
-
-
-def test_sharded_sparse_gkr_mul_tree():
-    from tpu_zk.circuit.layered import MUL, tree_sum_circuit
-    from tpu_zk.gkr import fused_sparse, sparse
-    from tpu_zk.parallel import sharded_gkr
-
-    fr = field_ctx("bls12_381_fr")
-    mesh = make_mesh(8)
-    circuit = tree_sum_circuit(fr, 5, op=MUL)
-    inputs = [(i % 7) + 2 for i in range(32)]
-    ps = sharded_gkr.prove(circuit, inputs, mesh)
-    pf = fused_sparse.prove(circuit, inputs)
-    for pa, pb in zip(ps.sumcheck_proofs, pf.sumcheck_proofs):
-        assert pa.random_challenges == pb.random_challenges
-    assert sparse.verify(circuit, ps, inputs)
-
-
-def test_sharded_ntt_matches_single_device():
-    """Six-step passes sharded over 8 devices, all_to_all at the digit turn:
-    must equal the single-device SixStepPlan bit-for-bit."""
-    from tpu_zk.ntt.ntt import NTT
-    from tpu_zk.ntt.sixstep import SixStepPlan
-    from tpu_zk.parallel.sharded_ntt import sharded_sixstep
-
-    ctx = field_ctx("bn254_fr")
-    k = 16
-    ref = NTT("bn254_fr", k)
-    plan = SixStepPlan("bn254_fr", k, ref.root)
-    import numpy as np
-    import jax.numpy as jnp
-
-    limbs = np.zeros((1 << k, ctx.L), np.uint32)
-    limbs[:, 0] = (np.arange(1 << k) * 7919 + 31) % 65521
-    table = jnp.asarray(limbs)
-
-    want = np.asarray(plan(table))
-    mesh = make_mesh(8)
-    got = np.asarray(sharded_sixstep(plan, table, mesh))
-    assert (got == want).all()
-
-
-def test_sharded_ntt_inverse_roundtrip():
-    from tpu_zk.ntt.ntt import NTT
-    from tpu_zk.ntt.sixstep import SixStepPlan
-    from tpu_zk.parallel.sharded_ntt import sharded_sixstep
-
-    ctx = field_ctx("bn254_fr")
-    k = 12
-    ref = NTT("bn254_fr", k)
-    fwd = SixStepPlan("bn254_fr", k, ref.root)
-    inv = SixStepPlan("bn254_fr", k, ref.root, inverse=True)
-    vals = [(i * 104729 + 7) % ctx.p for i in range(1 << k)]
-    mesh = make_mesh(8)
-    table = ctx.array(vals)
-    back = sharded_sixstep(inv, sharded_sixstep(fwd, table, mesh), mesh)
-    assert ctx.to_ints(back) == vals
-
-
-def test_sharded_merkle_matches_single_device():
-    import numpy as np
-
-    from tpu_zk.merkle.device_merkle import merkle_field_tree
-    from tpu_zk.parallel.sharded_merkle import sharded_merkle_field_tree
-
-    ctx = field_ctx("bn254_fr")
-    table = ctx.array([(i * 31 + 7) % 65521 for i in range(64)])
-    mesh = make_mesh(8)
-    got = sharded_merkle_field_tree(ctx, table, mesh)
-    want = merkle_field_tree(ctx, table)
-    assert len(got) == len(want)
-    for g, w in zip(got, want):
-        assert (np.asarray(g) == np.asarray(w)).all()

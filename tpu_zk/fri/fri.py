@@ -190,6 +190,22 @@ def prove(config: FriConfig, codeword: jnp.ndarray, transcript: Transcript) -> F
     for v in final_codeword:
         transcript.append(ctx.to_bytes_be(v))
 
+    return _query_phase(
+        config, codewords, level_stack, roots, final_codeword, transcript
+    )
+
+
+def _query_phase(
+    config: FriConfig,
+    codewords: list[jnp.ndarray],
+    level_stack: list[jnp.ndarray],
+    roots: list[bytes],
+    final_codeword: list[int],
+    transcript: Transcript,
+) -> FriProof:
+    """Open the Fiat-Shamir query positions: batch every value and Merkle
+    sibling gather across all rounds into one transfer."""
+    ctx = config.ctx
     # -- query phase: batch all gathers, ONE transfer ------------------------
     indices = _query_indices(transcript, config.num_queries, 1 << (config.domain_log2 - 1))
     tracked = list(indices)

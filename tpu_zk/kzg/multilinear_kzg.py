@@ -16,9 +16,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
-from ..curves.ec_device import msm, scalar_bits
+from ..curves.ec_device import ec_identity, msm, scalar_bits
 from ..curves.msm_pippenger import msm_pippenger
 from ..curves.host_ec import ec_neg
 from ..curves.pairing_native import pairing_product_is_one  # native C++, py fallback
@@ -79,9 +80,23 @@ def open_and_prove(
     for i, opening in enumerate(opening_values):
         half = sub_table.shape[0] // 2
         quotient = arith.sub(fr, sub_table[half:], sub_table[:half])
-        proof_point = msm_pippenger(
-            dc.ctx, dc.b3, (folded_bases[i], arith.from_mont(fr, quotient))
-        )
+        base = folded_bases[i]
+        scalars = arith.from_mont(fr, quotient)
+        # TPU: pad every sub-2048 tail MSM up to one shared Pippenger shape
+        # (identity points + zero scalars add nothing); per-size double-and-add
+        # fallbacks would each compile their own ~min-long program through the
+        # tunnel, dwarfing the actual math
+        if jax.default_backend() == "tpu" and scalars.shape[0] < 2048:
+            pad = 2048 - scalars.shape[0]
+            ident = ec_identity(dc.ctx)
+            base = tuple(
+                jnp.concatenate([c, jnp.broadcast_to(z, (pad,) + z.shape)])
+                for c, z in zip(base, ident)
+            )
+            scalars = jnp.concatenate(
+                [scalars, jnp.zeros((pad, scalars.shape[1]), jnp.uint32)]
+            )
+        proof_point = msm_pippenger(dc.ctx, dc.b3, (base, scalars))
         proofs.append(dc.point_to_host(proof_point))
         # remainder: fold the first variable at the opening value
         sub_table = fold(fr, sub_table, 0, fr.scalar(opening))
