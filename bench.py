@@ -57,20 +57,21 @@ def timeit(fn, warmup=1, iters=3):
 def bench_sumcheck_round(n_log2=20, iters=10):
     """One fused sumcheck prover round (fold + half-sums) at 2^n.
 
-    Measures steady-state device throughput: iterations are chained (output
-    feeds input) and synced once, so the ~85 ms tunnel round-trip amortizes
-    away instead of dominating every sample."""
+    Measures the limb-major MXU round the fused prover actually runs
+    (``poly.multilinear.fold_and_half_sums_lm``): iterations are chained
+    (output feeds input) and synced once, so the ~85 ms tunnel round-trip
+    amortizes away instead of dominating every sample."""
     from tpu_zk.fields.arith import field_ctx
-    from tpu_zk.poly.multilinear import fold_and_half_sums
+    from tpu_zk.poly.multilinear import fold_and_half_sums_lm
 
     ctx = field_ctx("bn254_fr")
     n = 1 << n_log2
 
     @jax.jit
-    def two_rounds(table):
-        f1, u1 = fold_and_half_sums(ctx, table, r)
-        f2, _ = fold_and_half_sums(ctx, table, u1[0])
-        return jnp.concatenate([f1, f2])  # keeps the working-set size fixed
+    def two_rounds(lm):
+        f1, u1 = fold_and_half_sums_lm(ctx, lm, r)
+        f2, _ = fold_and_half_sums_lm(ctx, lm, u1[0])
+        return jnp.concatenate([f1, f2], axis=1)  # keeps the working set fixed
 
     import numpy as np
     import jax.numpy as jnp
@@ -78,7 +79,7 @@ def bench_sumcheck_round(n_log2=20, iters=10):
     base = np.arange(n, dtype=np.uint32) % 65521
     limbs = np.zeros((n, ctx.L), np.uint32)
     limbs[:, 0] = base  # small canonical values (valid Montgomery residues)
-    table = jnp.asarray(limbs)
+    table = jnp.asarray(limbs).T  # limb-major [L, N]
     r = ctx.scalar(123456789)
 
     force(two_rounds(table))  # warmup/compile

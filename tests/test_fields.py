@@ -89,3 +89,65 @@ def test_eq_iszero():
     ctx = field_ctx("bn254_fr")
     a = ctx.array([0, 5, 0])
     assert arith.is_zero(ctx, a).tolist() == [True, False, True]
+
+
+# ---------------------------------------------------------------------------
+# MXU digit-matmul kernels (fields/mxu_mul.py): bit-identity vs the CIOS path
+# (interpret mode on CPU; the compiled path is cross-checked on TPU by the
+# same assertions in the bench/verify flows)
+# ---------------------------------------------------------------------------
+
+
+def _rand_mont(ctx, n, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vals = [
+        (int(a) * int(b) * int(c)) % ctx.p
+        for a, b, c in rng.integers(1, 2**62, size=(n, 3))
+    ]
+    return ctx.array(vals)
+
+
+@pytest.mark.parametrize("name", ["bn254_fr", "bls12_381_fr"])
+def test_mxu_mul_const_matches_mont_mul(name):
+    import numpy as np
+
+    from tpu_zk.fields import arith
+    from tpu_zk.fields.mxu_mul import mul_const_mxu_pallas
+
+    ctx = arith.field_ctx(name)
+    a = _rand_mont(ctx, 256, seed=11)
+    c = ctx.scalar(987654321987654321 % ctx.p)
+    ref = arith.mont_mul(ctx, a, c)
+    got = mul_const_mxu_pallas(ctx, a, c, 256)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    # edge values on both sides
+    edge = ctx.array([0, 1, ctx.p - 1, ctx.p - 2] * 64)
+    for cv in (0, 1, ctx.p - 1):
+        cs = ctx.scalar(cv)
+        assert np.array_equal(
+            np.asarray(arith.mont_mul(ctx, edge, cs)),
+            np.asarray(mul_const_mxu_pallas(ctx, edge, cs, 256)),
+        )
+
+
+def test_mxu_fold_lm_bit_identical():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_zk.fields import arith
+    from tpu_zk.fields.mxu_mul import fold_mxu_lm
+    from tpu_zk.poly.multilinear import fold_and_half_sums
+
+    ctx = arith.field_ctx("bn254_fr")
+    n = 1 << 10
+    table = _rand_mont(ctx, n, seed=5)
+    r = ctx.scalar(123456789123456789 % ctx.p)
+    ref_folded, ref_univ = fold_and_half_sums(ctx, table, r)
+    folded, wide = fold_mxu_lm(ctx, table.T[None], r, 128)
+    assert np.array_equal(np.asarray(folded[0].T), np.asarray(ref_folded))
+    G = wide.shape[1]
+    lazy = jnp.sum(wide[0].reshape(2, G // 2, ctx.L + 2), axis=1, dtype=jnp.uint32)
+    univ = arith.reduce_wide_to_mont(ctx, arith.carry_propagate(lazy, ctx.L + 4))
+    assert np.array_equal(np.asarray(univ), np.asarray(ref_univ))

@@ -71,3 +71,25 @@ def test_kzg_wrong_opening_fails():
         [5, 2, 3], [0, 4, 0, 4, 0, 4, 3, 7], [6, 4, 0]
     )
     assert not verify(setup, commitment, [6, 4, 1], proof)
+
+
+def test_kzg_padded_tail_msm_matches_unpadded():
+    """Force the TPU-only pad-to-shared-shape branch on CPU: identity points
+    + zero scalars must be exact no-ops, so the proof bytes are identical
+    (multilinear_kzg.py pad branch; advisor r3 finding)."""
+    from tpu_zk.kzg import multilinear_kzg as mk
+
+    setup = TrustedSetup.initialize_setup("bls12_381", [5, 2, 3])
+    poly = MultilinearPolynomial.from_ints(FR, [0, 4, 0, 4, 0, 4, 3, 7])
+    opening = [6, 4, 0]
+    commitment = commit_to_polynomial(poly, setup)
+    plain = open_and_prove(poly, setup, opening)
+    old = mk.PAD_TAIL_MSMS
+    mk.PAD_TAIL_MSMS = True
+    try:
+        padded = open_and_prove(poly, setup, opening)
+    finally:
+        mk.PAD_TAIL_MSMS = old
+    assert padded.evaluation == plain.evaluation
+    assert padded.proofs == plain.proofs
+    assert verify(setup, commitment, opening, padded)

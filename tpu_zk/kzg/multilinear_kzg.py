@@ -34,6 +34,19 @@ class MultilinearKZGProof:
     proofs: list  # affine G1 int pairs (or None), one per variable
 
 
+# None = auto (pad on TPU only); tests force True on CPU to cover the padded
+# branch, asserting identical proofs (identity points / zero scalars are
+# exact no-ops under the complete addition formulas).
+PAD_TAIL_MSMS: bool | None = None
+_PAD_SHAPE = 2048
+
+
+def _pad_tail_msms() -> bool:
+    if PAD_TAIL_MSMS is not None:
+        return PAD_TAIL_MSMS
+    return jax.default_backend() == "tpu"
+
+
 def commit_to_polynomial(
     polynomial: MultilinearPolynomial, trusted_setup: TrustedSetup
 ):
@@ -86,8 +99,8 @@ def open_and_prove(
         # (identity points + zero scalars add nothing); per-size double-and-add
         # fallbacks would each compile their own ~min-long program through the
         # tunnel, dwarfing the actual math
-        if jax.default_backend() == "tpu" and scalars.shape[0] < 2048:
-            pad = 2048 - scalars.shape[0]
+        if _pad_tail_msms() and scalars.shape[0] < _PAD_SHAPE:
+            pad = _PAD_SHAPE - scalars.shape[0]
             ident = ec_identity(dc.ctx)
             base = tuple(
                 jnp.concatenate([c, jnp.broadcast_to(z, (pad,) + z.shape)])

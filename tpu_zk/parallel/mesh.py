@@ -39,14 +39,17 @@ def init_distributed(
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not addr:
         return False
+    # Leave unset values as None so jax.distributed.initialize runs its own
+    # cluster auto-detection (e.g. Cloud TPU metadata) instead of silently
+    # forming a one-process "cluster" from a partially configured env.
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=addr,
-        num_processes=num_processes
-        if num_processes is not None
-        else int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id
-        if process_id is not None
-        else int(os.environ.get("JAX_PROCESS_ID", "0")),
+        num_processes=num_processes,
+        process_id=process_id,
     )
     return True
 

@@ -90,6 +90,31 @@ def fold_and_half_sums(ctx: FieldCtx, table: jnp.ndarray, r: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def fold_and_half_sums_lm(ctx: FieldCtx, lm: jnp.ndarray, r: jnp.ndarray):
+    """Limb-major sumcheck round: lm [L, N] -> (folded [L, N/2], univ [2, L]).
+
+    The [N, L] layout puts the limb axis on the 128-lane dimension (7/8 of
+    every VMEM tile wasted; HBM DMA at ~1/6 of the measured ceiling), so the
+    fused provers keep tables limb-major and ride the MXU fold kernel
+    (``fields/mxu_mul.py``); results are bit-identical to
+    :func:`fold_and_half_sums` (asserted in tests/test_fields.py).
+    """
+    L, N = lm.shape
+    T = N // 2
+    if jax.default_backend() == "tpu" and T >= 256:
+        from ..fields.mxu_mul import fold_mxu_lm
+
+        block = min(8192, T // 2)
+        folded, wide = fold_mxu_lm(ctx, lm[None], r, block)
+        G = wide.shape[1]
+        lazy = jnp.sum(wide[0].reshape(2, G // 2, ctx.L + 2), axis=1, dtype=jnp.uint32)
+        strict = arith.carry_propagate(lazy, ctx.L + 4)
+        return folded[0], arith.reduce_wide_to_mont(ctx, strict)
+    folded_mm, univ = fold_and_half_sums(ctx, lm.T, r)
+    return folded_mm.T, univ
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def sum_halves(ctx: FieldCtx, table: jnp.ndarray) -> jnp.ndarray:
     """[N, L] -> [2, L]: modular sums of the two halves (one sumcheck round's
     univariate in evaluation form; reference ``basic_sumcheck/prover.rs:74-89``)."""

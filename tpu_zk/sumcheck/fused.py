@@ -26,7 +26,7 @@ import numpy as np
 from ..fields import arith
 from ..fields.arith import FieldCtx
 from ..poly.composed import collapse_sum_of_products
-from ..poly.multilinear import fold, fold_and_half_sums, sum_halves
+from ..poly.multilinear import fold, fold_and_half_sums, fold_and_half_sums_lm, sum_halves
 from ..transcript.device_fs import DeviceSponge, digest_to_mont, pack_bytes_be, pack_bytes_le
 from ..transcript.keccak import RATE
 
@@ -56,6 +56,14 @@ def fused_basic_prove(
     n = N.bit_length() - 1
     sponge = DeviceSponge(state, buf, pos)
 
+    # Large rounds run limb-major ([L, N]: element axis on lanes -> full-lane
+    # DMA + MXU fold); one transpose in, one transpose out when the table
+    # gets small.  Bit-identical to the limb-minor path.
+    LM_MIN = 512
+    limb_major = jax.default_backend() == "tpu" and N >= 2 * LM_MIN
+    if limb_major:
+        lm = table.T
+
     univs_mont = []
     univs_plain = []
     digests = []
@@ -69,7 +77,12 @@ def fused_basic_prove(
         digests.append(digest)
         if rnd < n - 1:
             r = digest_to_mont(ctx, digest)
-            table, univ_m = fold_and_half_sums(ctx, table, r)
+            if limb_major and lm.shape[1] >= 2 * LM_MIN:
+                lm, univ_m = fold_and_half_sums_lm(ctx, lm, r)
+                if lm.shape[1] < 2 * LM_MIN:
+                    table = lm.T
+            else:
+                table, univ_m = fold_and_half_sums(ctx, table, r)
             univ_p = arith.from_mont(ctx, univ_m)
 
     return (

@@ -12,12 +12,32 @@ shard-physical) and produce bit-identical output.
 from __future__ import annotations
 
 import io
-import pickle
+import json
 
 import jax
 import numpy as np
 
-from ..fields.arith import FieldCtx, field_ctx
+from ..fields.arith import FieldCtx, field_ctx  # noqa: F401  (FieldCtx in annotations)
+
+
+def _dump_state(arrays: dict, meta: dict) -> bytes:
+    """Checkpoint blob = npz of numeric arrays + one JSON metadata entry.
+
+    No pickle anywhere (``allow_pickle=False`` both ways): loading a
+    checkpoint from untrusted storage can at worst fail to parse, never
+    execute code.  Big field elements travel as hex strings inside the JSON.
+    """
+    buf = io.BytesIO()
+    meta_arr = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(buf, __meta__=meta_arr, **arrays)
+    return buf.getvalue()
+
+
+def _load_state(blob: bytes) -> tuple[dict, dict]:
+    with np.load(io.BytesIO(blob), allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    return arrays, meta
 from ..poly.multilinear import MultilinearPolynomial, fold, sum_halves
 from ..sumcheck.basic import SumcheckProof
 from ..transcript.fiat_shamir import Transcript
@@ -71,34 +91,37 @@ class CheckpointableSumcheckProver:
 
     # -- persistence ---------------------------------------------------------
     def save(self) -> bytes:
-        state = {
-            "field": self.ctx.name,
-            "round": self.round,
-            "initial_claimed_sum": self.initial_claimed_sum,
+        arrays = {
             "initial_table": np.asarray(jax.device_get(self.initial_polynomial.table)),
             "current_table": np.asarray(jax.device_get(self.current)),
-            "round_polys": [np.asarray(jax.device_get(u.table)) for u in self.round_polys],
-            "transcript": self.transcript.snapshot(),
+            "transcript": np.frombuffer(self.transcript.snapshot(), dtype=np.uint8),
         }
-        buf = io.BytesIO()
-        pickle.dump(state, buf)
-        return buf.getvalue()
+        for i, u in enumerate(self.round_polys):
+            arrays[f"round_poly_{i}"] = np.asarray(jax.device_get(u.table))
+        meta = {
+            "field": self.ctx.name,
+            "round": self.round,
+            "n_round_polys": len(self.round_polys),
+            "initial_claimed_sum": hex(self.initial_claimed_sum),
+        }
+        return _dump_state(arrays, meta)
 
     @classmethod
     def load(cls, blob: bytes) -> "CheckpointableSumcheckProver":
-        state = pickle.load(io.BytesIO(blob))
-        ctx = field_ctx(state["field"])
+        arrays, meta = _load_state(blob)
+        ctx = field_ctx(meta["field"])
         self = cls.__new__(cls)
         self.ctx = ctx
         self.initial_polynomial = MultilinearPolynomial(
-            ctx, jax.numpy.asarray(state["initial_table"])
+            ctx, jax.numpy.asarray(arrays["initial_table"])
         )
-        self.initial_claimed_sum = state["initial_claimed_sum"]
-        self.transcript = Transcript.from_snapshot(state["transcript"])
-        self.current = jax.numpy.asarray(state["current_table"])
-        self.round = state["round"]
+        self.initial_claimed_sum = int(meta["initial_claimed_sum"], 16)
+        self.transcript = Transcript.from_snapshot(arrays["transcript"].tobytes())
+        self.current = jax.numpy.asarray(arrays["current_table"])
+        self.round = meta["round"]
         self.round_polys = [
-            MultilinearPolynomial(ctx, jax.numpy.asarray(t)) for t in state["round_polys"]
+            MultilinearPolynomial(ctx, jax.numpy.asarray(arrays[f"round_poly_{i}"]))
+            for i in range(meta["n_round_polys"])
         ]
         return self
 
@@ -201,64 +224,67 @@ class CheckpointableSparseGkrProver:
 
     # -- persistence ---------------------------------------------------------
     def save(self) -> bytes:
+        hx = hex
         proofs = [
-            (
-                p.claimed_sum,
-                [q.coefficients for q in p.round_univariate_polynomials],
-                list(p.random_challenges),
-            )
+            {
+                "claimed_sum": hx(p.claimed_sum),
+                "coeffs": [[hx(c) for c in q.coefficients] for q in p.round_univariate_polynomials],
+                "challenges": [hx(c) for c in p.random_challenges],
+            }
             for p in self.layer_proofs
         ]
-        state = {
+        arrays = {
+            "inputs": np.asarray(jax.device_get(self._inputs_table)),
+            "transcript": np.frombuffer(self.transcript.snapshot(), dtype=np.uint8),
+        }
+        meta = {
             "field": self.ctx.name,
             "layer": self.layer,
-            "inputs": np.asarray(jax.device_get(self._inputs_table)),
             "proofs": proofs,
-            "wb": self.wb_evaluations,
-            "wc": self.wc_evaluations,
-            "alpha": self.alpha,
-            "beta": self.beta,
-            "rb": self.rb_values,
-            "rc": self.rc_values,
-            "ra": self.random_challenge_a,
-            "claimed_sum": self.claimed_sum,
-            "transcript": self.transcript.snapshot(),
+            "wb": [hx(v) for v in self.wb_evaluations],
+            "wc": [hx(v) for v in self.wc_evaluations],
+            "alpha": hx(self.alpha),
+            "beta": hx(self.beta),
+            "rb": [hx(v) for v in self.rb_values],
+            "rc": [hx(v) for v in self.rc_values],
+            "ra": hx(self.random_challenge_a),
+            "claimed_sum": hx(self.claimed_sum),
         }
-        buf = io.BytesIO()
-        pickle.dump(state, buf)
-        return buf.getvalue()
+        return _dump_state(arrays, meta)
 
     @classmethod
     def load(cls, circuit, blob: bytes) -> "CheckpointableSparseGkrProver":
         from ..poly.univariate import DenseUnivariatePolynomial
         from ..sumcheck.gkr_sumcheck import SumcheckProverProof
 
-        state = pickle.load(io.BytesIO(blob))
-        ctx = field_ctx(state["field"])
+        arrays, meta = _load_state(blob)
+        ctx = field_ctx(meta["field"])
         assert circuit.ctx is ctx, "circuit field must match checkpoint"
+        ih = lambda s: int(s, 16)  # noqa: E731
         self = cls.__new__(cls)
         self.circuit = circuit
         self.ctx = ctx
-        self._inputs_table = jax.numpy.asarray(state["inputs"])
+        self._inputs_table = jax.numpy.asarray(arrays["inputs"])
         self.ev = circuit.evaluate(self._inputs_table, materialize=False)
         self.layer_proofs = [
             SumcheckProverProof(
-                claimed_sum=cs,
+                claimed_sum=ih(p["claimed_sum"]),
                 round_univariate_polynomials=[
-                    DenseUnivariatePolynomial(ctx, c) for c in coeffs
+                    DenseUnivariatePolynomial(ctx, [ih(c) for c in coeffs])
+                    for coeffs in p["coeffs"]
                 ],
-                random_challenges=ch,
+                random_challenges=[ih(c) for c in p["challenges"]],
             )
-            for cs, coeffs, ch in state["proofs"]
+            for p in meta["proofs"]
         ]
-        self.wb_evaluations = state["wb"]
-        self.wc_evaluations = state["wc"]
-        self.alpha = state["alpha"]
-        self.beta = state["beta"]
-        self.rb_values = state["rb"]
-        self.rc_values = state["rc"]
-        self.random_challenge_a = state["ra"]
-        self.claimed_sum = state["claimed_sum"]
-        self.transcript = Transcript.from_snapshot(state["transcript"])
-        self.layer = state["layer"]
+        self.wb_evaluations = [ih(v) for v in meta["wb"]]
+        self.wc_evaluations = [ih(v) for v in meta["wc"]]
+        self.alpha = ih(meta["alpha"])
+        self.beta = ih(meta["beta"])
+        self.rb_values = [ih(v) for v in meta["rb"]]
+        self.rc_values = [ih(v) for v in meta["rc"]]
+        self.random_challenge_a = ih(meta["ra"])
+        self.claimed_sum = ih(meta["claimed_sum"])
+        self.transcript = Transcript.from_snapshot(arrays["transcript"].tobytes())
+        self.layer = meta["layer"]
         return self

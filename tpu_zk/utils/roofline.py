@@ -11,19 +11,24 @@ kernel this module computes
   - the memory-bound and compute-bound time floors, whose max is the
     roofline, and the kernel's achieved fraction of it.
 
-Hardware constants are engineering estimates for TPU v5e (one chip):
-HBM ~819 GB/s (public spec); VPU lanes 8x128 with ~4 simple int ALU ops or
-~1 32-bit multiply per lane-cycle at ~1.5 GHz -> ~6.1e12 add/s, ~1.5e12
-mul/s.  They bound from above, so "% of speed of light" is conservative.
+Hardware constants: HBM bandwidth is the MEASURED ceiling of this chip
+(~165 GB/s via a pure-copy Pallas kernel sweep through the axon tunnel --
+the v5e public spec says 819 GB/s, but that is not what this virtualized
+single chip delivers, and a roofline built on an unreachable number is not
+a speed-of-light argument).  VPU: lanes 8x128, ~4 simple int ALU ops or ~1
+32-bit multiply per lane-cycle at ~1.5 GHz -> ~6.1e12 add/s, ~1.5e12 mul/s.
+MXU: ~98e12 bf16 MACs/s (197 TFLOPS spec) -- the digit-matmul kernels
+(fields/mxu_mul.py) retire limb products there instead of the VPU.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-HBM_BYTES_PER_S = 819e9
+HBM_BYTES_PER_S = 165e9  # measured pure-copy ceiling, this chip
 VPU_U32_MUL_PER_S = 1.5e12
 VPU_U32_ADD_PER_S = 6.1e12
+MXU_BF16_MACS_PER_S = 98e12
 
 
 @dataclass
@@ -32,6 +37,7 @@ class KernelModel:
     bytes_moved: float
     u32_muls: float
     u32_adds: float
+    mxu_macs: float = 0.0
 
     @property
     def t_memory(self) -> float:
@@ -39,7 +45,11 @@ class KernelModel:
 
     @property
     def t_compute(self) -> float:
-        return self.u32_muls / VPU_U32_MUL_PER_S + self.u32_adds / VPU_U32_ADD_PER_S
+        return (
+            self.u32_muls / VPU_U32_MUL_PER_S
+            + self.u32_adds / VPU_U32_ADD_PER_S
+            + self.mxu_macs / MXU_BF16_MACS_PER_S
+        )
 
     @property
     def t_roofline(self) -> float:
@@ -66,15 +76,19 @@ def _mont_mul_ops(n_elems: float, L: int) -> tuple[float, float]:
 
 
 def sumcheck_round_model(n_log2: int, L: int = 16) -> KernelModel:
-    """Fused fold + half-sums at 2^n: read N rows, write N/2, one mont_mul +
-    one sub + one add per pair, plus the N/2-element half-sum reduction."""
+    """Fused fold + half-sums at 2^n (the MXU digit-matmul kernel,
+    fields/mxu_mul.py): read N rows, write N/2.  The lerp's limb products
+    ride the MXU as a [2L, 8L] x [8L, block] bf16 matmul (8L*2L MACs per
+    output element); the VPU keeps only the epilogue (carry propagation,
+    one-hot correction, conditional subtracts -- ~40 ops/limb)."""
     N = 1 << n_log2
-    mul_m, add_m = _mont_mul_ops(N / 2, L)
+    out = N / 2
     return KernelModel(
         name=f"sumcheck_round 2^{n_log2}",
         bytes_moved=(N + N / 2) * L * 4,
-        u32_muls=mul_m,
-        u32_adds=add_m + 3 * (N / 2) * L,  # lerp sub/add + lazy half sums
+        u32_muls=0.0,
+        u32_adds=40.0 * out * L,  # epilogue carries/selects
+        mxu_macs=out * (8 * L) * (2 * L),
     )
 
 
@@ -142,7 +156,8 @@ def render_markdown(rows: list[dict]) -> str:
         "# Speed-of-light table (TPU v5e, one chip)",
         "",
         "Generated by `bench.py`.  Roofline = max(memory floor, compute floor);",
-        f"model constants: HBM {HBM_BYTES_PER_S/1e9:.0f} GB/s, VPU ~{VPU_U32_MUL_PER_S/1e12:.1f}e12 u32 mul/s, ~{VPU_U32_ADD_PER_S/1e12:.1f}e12 u32 add/s.",
+        f"model constants: HBM {HBM_BYTES_PER_S/1e9:.0f} GB/s (measured copy ceiling),",
+        f"VPU ~{VPU_U32_MUL_PER_S/1e12:.1f}e12 u32 mul/s, ~{VPU_U32_ADD_PER_S/1e12:.1f}e12 u32 add/s, MXU ~{MXU_BF16_MACS_PER_S/1e12:.0f}e12 bf16 MAC/s.",
         "",
         "| kernel | bound | bytes | u32 muls | roofline (ms) | measured (ms) | % of SoL |",
         "|---|---|---|---|---|---|---|",
