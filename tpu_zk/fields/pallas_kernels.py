@@ -251,3 +251,60 @@ def fold_pallas(ctx: FieldCtx, flat: jnp.ndarray, r: jnp.ndarray, block: int = D
         ),
         interpret=jax.default_backend() != "tpu",
     )(flat, flat, r2, consts)
+
+
+# ---------------------------------------------------------------------------
+# limb-major elementwise kernels: operands [L, N] (element axis on lanes)
+#
+# The [N, L] layout wastes 7/8 of every lane (L=16 of 128) and runs HBM DMA
+# at ~1/6 of the measured ceiling; these variants take limb-major arrays,
+# skip the in-kernel transpose, and use every lane.  Same math, bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _mont_mul_lm_kernel(ctx: FieldCtx, a_ref, b_ref, c_ref, o_ref):
+    o_ref[:] = _mont_mul_rows(ctx, a_ref[:], b_ref[:], c_ref[:])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def mont_mul_lm_pallas(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, block: int = 2048) -> jnp.ndarray:
+    """Montgomery product of limb-major arrays: a, b [L, N] -> [L, N];
+    N must be a multiple of ``block``."""
+    L, N = a.shape
+    consts = jnp.asarray(_consts_for(ctx.name))
+    return pl.pallas_call(
+        functools.partial(_mont_mul_lm_kernel, ctx),
+        out_shape=jax.ShapeDtypeStruct((L, N), jnp.uint32),
+        grid=(N // block,),
+        in_specs=[
+            pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(a, b, consts)
+
+
+def _addsub_lm_kernel(ctx: FieldCtx, op, a_ref, b_ref, c_ref, o_ref):
+    o_ref[:] = op(ctx, a_ref[:], b_ref[:], c_ref[:])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def addsub_lm_pallas(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, kind: str, block: int = 2048) -> jnp.ndarray:
+    """Elementwise modular add/sub on limb-major arrays [L, N]."""
+    L, N = a.shape
+    op = _add_rows if kind == "add" else _sub_rows
+    consts = jnp.asarray(_consts_for(ctx.name))
+    return pl.pallas_call(
+        functools.partial(_addsub_lm_kernel, ctx, op),
+        out_shape=jax.ShapeDtypeStruct((L, N), jnp.uint32),
+        grid=(N // block,),
+        in_specs=[
+            pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(a, b, consts)

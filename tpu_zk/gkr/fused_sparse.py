@@ -135,6 +135,81 @@ def _round(ctx: FieldCtx, stacked, state, buf, pos):
     return coeffs_p, digest, r, folded, state, buf, pos
 
 
+def _lazy_lane_sum_to_mont(ctx: FieldCtx, lm: jnp.ndarray) -> jnp.ndarray:
+    """Exact modular sum over the lane (element) axis of limb-major strict
+    canonical [L, T] -> Montgomery [L].  Same chunked-lazy shape as
+    ``arith.sum_mod`` (order-independent: modular adds are associative)."""
+    L, T = lm.shape
+    CH = 1 << 15
+    if T > CH:
+        s1 = jnp.sum(lm.reshape(L, T // CH, CH), axis=2, dtype=jnp.uint32)  # < 2^31
+        strict1 = arith.carry_propagate(s1.T, ctx.L + 2)  # [K, L+2]
+        lazy2 = jnp.sum(strict1, axis=0, dtype=jnp.uint32)
+        wide = arith.carry_propagate(lazy2, ctx.L + 4)
+    else:
+        lazy = jnp.sum(lm, axis=1, dtype=jnp.uint32)  # < 2^31
+        wide = arith.carry_propagate(lazy, ctx.L + 2)
+    return arith.reduce_wide_to_mont(ctx, wide)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _round_lm(ctx: FieldCtx, stacked_lm, state, buf, pos):
+    """Limb-major round for the degree-2 working set [2, 2, L, S].
+
+    The t = 0, 1, 2 sample points need NO generic multiplies (lo, hi,
+    2*hi - lo); the only elementwise products are the two collapse muls per
+    sample point, done by the limb-major VPU kernel, and the challenge fold
+    rides the MXU digit-matmul kernel.  Bit-identical to :func:`_round`
+    (asserted by tests/test_fused_sparse.py at both layouts).
+    """
+    from ..fields.pallas_kernels import addsub_lm_pallas, mont_mul_lm_pallas
+
+    p_, k_, L, S = stacked_lm.shape
+    T = S // 2
+    d = k_  # degree = number of factors = 2
+    vinv = jnp.asarray(_vandermonde_inv_mont(ctx.name, d + 1))
+
+    lo = stacked_lm[..., :T]  # [2, 2, L, T]
+    hi = stacked_lm[..., T:]
+    blk = min(2048, T)
+
+    def collapse(point):  # [2, 2, L, T] at one t -> Montgomery sum [L]
+        prods = [mont_mul_lm_pallas(ctx, point[i, 0], point[i, 1], blk) for i in range(p_)]
+        acc = prods[0]
+        for q in prods[1:]:
+            acc = addsub_lm_pallas(ctx, acc, q, "add", blk)
+        return _lazy_lane_sum_to_mont(ctx, acc)
+
+    # e(t): evaluations of each factor table at t = 0,1,2 without multiplies
+    e0 = lo
+    e1 = hi
+    e2 = jnp.stack([
+        jnp.stack([
+            addsub_lm_pallas(ctx, addsub_lm_pallas(ctx, hi[i, j], hi[i, j], "add", blk), lo[i, j], "sub", blk)
+            for j in range(k_)
+        ])
+        for i in range(p_)
+    ])
+    evals_m = jnp.stack([collapse(e0), collapse(e1), collapse(e2)])  # [3, L]
+
+    coeffs_p = arith.from_mont(ctx, _interpolate_mont(ctx, vinv, evals_m))
+    state, buf, pos = absorb_dyn(state, buf, pos, pack_bytes_le(ctx, coeffs_p))
+    digest, state, buf, pos = squeeze_dyn(state, buf, pos)
+    r = digest_to_mont(ctx, digest)
+
+    from ..fields.mxu_mul import fold_mxu_lm
+
+    fold_blk = min(8192, T // 2) if T >= 256 else 0
+    if fold_blk:
+        folded, _ = fold_mxu_lm(ctx, stacked_lm.reshape(p_ * k_, L, S), r, fold_blk)
+        folded = folded.reshape(p_, k_, L, T)
+    else:
+        # small tail: generic fold on the transposed view
+        folded = fold(ctx, stacked_lm.reshape(p_ * k_, L, S).transpose(0, 2, 1), 0, r)
+        folded = folded.transpose(0, 2, 1).reshape(p_, k_, L, T)
+    return coeffs_p, digest, r, folded, state, buf, pos
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _epilogue(ctx: FieldCtx, wb_m, wc_m, state, buf, pos):
     """Absorb wb/wc evals (BE), squeeze alpha/beta, fold the next claim
@@ -156,6 +231,43 @@ def _epilogue(ctx: FieldCtx, wb_m, wc_m, state, buf, pos):
 # ---------------------------------------------------------------------------
 # host driver
 # ---------------------------------------------------------------------------
+
+# working sets at least this wide run the limb-major round (_round_lm);
+# below it the per-kernel dispatch overhead outweighs the layout win
+_LM_MIN = 4096
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _to_lm(ctx: FieldCtx, stacked):
+    return stacked.transpose(0, 1, 3, 2)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _from_lm(ctx: FieldCtx, lm):
+    return lm.transpose(0, 1, 3, 2)
+
+
+def _run_rounds(ctx: FieldCtx, stacked, state, buf, pos, s: int):
+    """s sumcheck rounds over one phase's working set; large rounds run
+    limb-major.  Returns (coeffs, digests, rs, stacked, state, buf, pos)."""
+    coeffs, digests, rs = [], [], []
+    lm = None
+    if jax.default_backend() == "tpu" and stacked.shape[2] >= _LM_MIN:
+        lm = _to_lm(ctx, stacked)
+    for _ in range(s):
+        if lm is not None:
+            c, dg, r, lm, state, buf, pos = _round_lm(ctx, lm, state, buf, pos)
+            if lm.shape[-1] < _LM_MIN:
+                stacked = _from_lm(ctx, lm)
+                lm = None
+        else:
+            c, dg, r, stacked, state, buf, pos = _round(ctx, stacked, state, buf, pos)
+        coeffs.append(c)
+        digests.append(dg)
+        rs.append(r)
+    if lm is not None:
+        stacked = _from_lm(ctx, lm)
+    return coeffs, digests, rs, stacked, state, buf, pos
 
 
 def _drive_layers(circuit: Circuit, ev, transcript: Transcript):
@@ -193,22 +305,16 @@ def _drive_layers(circuit: Circuit, ev, transcript: Transcript):
         stacked, claim_p, state, buf, pos = _phase1(
             ctx, w_table, w_out, lefts, rights, is_add, claim_m, state, buf, pos
         )
-        coeffs1, digests1, rs1 = [], [], []
-        for _ in range(s):
-            c, dg, r, stacked, state, buf, pos = _round(ctx, stacked, state, buf, pos)
-            coeffs1.append(c)
-            digests1.append(dg)
-            rs1.append(r)
+        coeffs1, digests1, rs1, stacked, state, buf, pos = _run_rounds(
+            ctx, stacked, state, buf, pos, s
+        )
         rb_st = jnp.stack(rs1)  # [s, L]
         wb_m = stacked[0, 0, 0]
 
         stacked = _phase2(ctx, w_table, w_out, rb_st, lefts, rights, is_add, wb_m)
-        coeffs2, digests2, rs2 = [], [], []
-        for _ in range(s):
-            c, dg, r, stacked, state, buf, pos = _round(ctx, stacked, state, buf, pos)
-            coeffs2.append(c)
-            digests2.append(dg)
-            rs2.append(r)
+        coeffs2, digests2, rs2, stacked, state, buf, pos = _run_rounds(
+            ctx, stacked, state, buf, pos, s
+        )
         rc_st = jnp.stack(rs2)
         wc_m = stacked[1, 1, 0]
 
