@@ -343,8 +343,8 @@ def main():
         ("ntt", bench_ntt),
         ("full_sumcheck", bench_full_sumcheck),
         ("sumcheck_round_24", lambda: bench_sumcheck_round(n_log2=24, iters=2)),
+        ("kzg", bench_kzg),  # before msm_20: r3 ran out of budget with kzg last
         ("msm_20", bench_msm_large),
-        ("kzg", bench_kzg),
     ]
     for name, fn in sections:
         elapsed = time.perf_counter() - t_start

@@ -40,8 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .arith import LIMB_BITS, MASK, FieldCtx, _limbs_of_int, mont_mul
 from .pallas_kernels import _col, _propagate_rows
 
-# one-hot correction split: h = h0 + 32*h1 covers the 2^256-overflow limb
-_H0, _H1 = 32, 64
+# the 2^(16L)-overflow limb h (one strict 16-bit limb) corrects via its four
+# nibbles: corr = sum_g tab_g[nib_g(h)], each table 16 reduced rows -- covers
+# any h < 2^16, which admits digit matmuls with up to 2^24-exact accumulators
+_HN = 16
 
 
 def _to_f32(x: jnp.ndarray) -> jnp.ndarray:
@@ -69,26 +71,29 @@ def _static_tables(name: str):
         [np.stack([_limbs_of_int(pow(2, 16 * l + 4 * g, p), L) for l in range(L)]) for g in range(4)]
     )
 
-    # overflow-limb correction tables: value + h*2^(16L) with h = h0 + 32*h1,
-    # rows already reduced mod p, stored as TRANSPOSED BYTE digits
-    # [2L, H] (low bytes then high bytes): a one-hot matmul selects one row
-    # each.  Byte entries are exact in bf16 -- Mosaic lowers f32 matmuls as
-    # single-pass bf16, which silently rounds 16-bit table entries.
+    # overflow-limb correction tables: value + h*2^(16L) with
+    # h = sum_g nib_g(h)*16^g, rows already reduced mod p, stored as
+    # TRANSPOSED BYTE digits [4, 2L, 16] (low bytes then high bytes): one
+    # one-hot matmul per nibble selects one row each.  Byte entries are
+    # exact in bf16 -- Mosaic lowers f32 matmuls as single-pass bf16, which
+    # silently rounds 16-bit table entries.
     def _tab_T_bytes(rows):
         limbs = np.stack(rows)  # [H, L]
         return np.concatenate([(limbs & 0xFF).T, (limbs >> 8).T], axis=0).astype(np.float32)
 
-    tab0 = _tab_T_bytes([_limbs_of_int(m * R % p, L) for m in range(_H0)])
-    tab1 = _tab_T_bytes([_limbs_of_int(_H0 * m * R % p, L) for m in range(_H1)])
+    htabs = np.stack([
+        _tab_T_bytes([_limbs_of_int((m << (4 * g)) * R % p, L) for m in range(_HN)])
+        for g in range(4)
+    ])  # [4, 2L, 16]
 
     # conditional-subtract constants at width L+1: B^(L+1) - k*p.  The
     # epilogue value is < 2^(16L) + 2p < 16p for any L with p > B^L/14
     # (all supported fields), so an 8,4,2,1 chain always lands < p.
     W = L + 1
     BW = 1 << (LIMB_BITS * W)
-    assert (1 << (LIMB_BITS * L)) + 2 * p < 16 * p
+    assert (1 << (LIMB_BITS * L)) + 4 * p < 16 * p
     comps = np.stack([_limbs_of_int(BW - k * p, W) for k in (8, 4, 2, 1)])
-    return m16, tab0, tab1, comps
+    return m16, htabs, comps
 
 
 def const_rows(ctx: FieldCtx, c_mont: jnp.ndarray) -> jnp.ndarray:
@@ -128,27 +133,31 @@ def _nibble_rows(at: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([(at >> s) & 0xF for s in (0, 4, 8, 12)], axis=0)
 
 
-def _lincomb_epilogue(ctx: FieldCtx, use_bf16: bool, m_f32: jnp.ndarray, tab0_ref, tab1_ref, comps: jnp.ndarray) -> jnp.ndarray:
-    """Lazy byte coefficients [2L, B] f32 (each < 2^19) -> canonical strict
-    limbs [L, B] u32 of the value mod p.  VPU only."""
+def _lincomb_epilogue(ctx: FieldCtx, use_bf16: bool, m_f32: jnp.ndarray, htabs_ref, comps: jnp.ndarray) -> jnp.ndarray:
+    """Lazy byte coefficients [2L, B] f32 -> canonical strict limbs [L, B]
+    u32 of the value mod p.  VPU + tiny one-hot matmuls.
+
+    Caller contract: each coefficient < 2^23 (so the 16-bit repack stays
+    below 2^32 - 2^16) and the total value < 2^16 * 2^(16L) (so the
+    overflow fits one limb) -- both hold for digit matmuls of up to 2048
+    nibble rows (the radix-32 DFT is the largest user)."""
     L = ctx.L
-    mu = _f32_to_u32(m_f32)  # exact: integer values < 2^19
+    mu = _f32_to_u32(m_f32)  # exact: integer values < 2^23
     B = mu.shape[1]
     # pack byte halves into 16-bit limb positions (group-major rows:
     # 0..L-1 = low bytes, L..2L-1 = high bytes; contiguous slices only)
-    t = mu[:L] + (mu[L:] << 8)  # [L, B], < 2^27
-    strict = _propagate_rows(t, L + 1)  # value < 2^11 * p -> top limb < 2^11
-    h = strict[L]  # [B]
+    t = mu[:L] + (mu[L:] << 8)  # [L, B], < 2^32 - 2^16 (propagate-safe)
+    strict = _propagate_rows(t, L + 1)  # value < 2^16 * 2^(16L)
+    h = strict[L].astype(jnp.int32)  # [B], < 2^16
     lo = strict[:L]
-    # correction: + (h * 2^(16L) mod p), h = h0 + 32*h1, via one-hot matmuls
-    h0 = (h & (_H0 - 1)).astype(jnp.int32)[None, :]
-    h1 = (h >> 5).astype(jnp.int32)[None, :]
-    oh0 = (jax.lax.broadcasted_iota(jnp.int32, (_H0, B), 0) == h0).astype(jnp.float32)
-    oh1 = (jax.lax.broadcasted_iota(jnp.int32, (_H1, B), 0) == h1).astype(jnp.float32)
-    c0b = _f32_to_u32(_mm(use_bf16, tab0_ref[:], oh0))  # [2L, B] bytes, exact
-    c1b = _f32_to_u32(_mm(use_bf16, tab1_ref[:], oh1))
-    corr = (c0b[:L] + (c0b[L:] << 8)) + (c1b[:L] + (c1b[L:] << 8))  # < 2^17
-    v = _propagate_rows(lo + corr, L + 1)  # < 2^(16L) + 2p < 16p
+    # correction: + (h * 2^(16L) mod p) via one one-hot matmul per h-nibble
+    corr = jnp.zeros((L, B), jnp.uint32)
+    for g in range(4):
+        nib = ((h >> (4 * g)) & 0xF)[None, :]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (_HN, B), 0) == nib).astype(jnp.float32)
+        cb = _f32_to_u32(_mm(use_bf16, htabs_ref[g], oh))  # [2L, B] bytes
+        corr = corr + cb[:L] + (cb[L:] << 8)  # < 4 * 2^16
+    v = _propagate_rows(lo + corr, L + 1)  # < 2^(16L) + 4p < 16p
     # conditional subtracts: 8p, 4p, 2p, p
     for row in range(4):
         W = L + 1
@@ -167,13 +176,13 @@ def _mm(use_bf16: bool, d: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(d, a, preferred_element_type=jnp.float32)
 
 
-def _fold_mxu_kernel(ctx: FieldCtx, use_bf16, lo_ref, hi_ref, d_ref, tab0_ref, tab1_ref, comps_ref, o_ref, s_ref):
+def _fold_mxu_kernel(ctx: FieldCtx, use_bf16, lo_ref, hi_ref, d_ref, htabs_ref, comps_ref, o_ref, s_ref):
     L = ctx.L
     lo = lo_ref[0].T  # [L, B]
     hi = hi_ref[0].T
     a = jnp.concatenate([_nibble_rows(lo), _nibble_rows(hi)], axis=0)  # [8L, B]
     m = _mm(use_bf16, d_ref[:], _to_f32(a))
-    out = _lincomb_epilogue(ctx, use_bf16, m, tab0_ref, tab1_ref, comps_ref[:])
+    out = _lincomb_epilogue(ctx, use_bf16, m, htabs_ref, comps_ref[:])
     o_ref[0] = out.T
 
     # per-block lazy sum of the folded values (same contract as fold_pallas)
@@ -195,7 +204,7 @@ def fold_mxu_pallas(ctx: FieldCtx, flat: jnp.ndarray, r: jnp.ndarray, block: int
     B, N2, L = flat.shape
     T = N2 // 2
     nblocks = T // block
-    m16_np, tab0_np, tab1_np, comps_np = _static_tables(ctx.name)
+    m16_np, htabs_np, comps_np = _static_tables(ctx.name)
 
     one = ctx.one_mont
     from .arith import sub as mod_sub
@@ -216,8 +225,7 @@ def fold_mxu_pallas(ctx: FieldCtx, flat: jnp.ndarray, r: jnp.ndarray, block: int
             pl.BlockSpec((1, block, L), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, L), lambda b, j, _n=nblocks: (b, j + _n, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * L, 8 * L), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * L, _H0), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * L, _H1), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 2 * L, _HN), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, L + 1), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -225,14 +233,14 @@ def fold_mxu_pallas(ctx: FieldCtx, flat: jnp.ndarray, r: jnp.ndarray, block: int
             pl.BlockSpec((1, nblocks, L + 2), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=not on_tpu,
-    )(flat, flat, d, jnp.asarray(tab0_np), jnp.asarray(tab1_np), jnp.asarray(comps_np))
+    )(flat, flat, d, jnp.asarray(htabs_np), jnp.asarray(comps_np))
 
 
-def _mul_mxu_kernel(ctx: FieldCtx, use_bf16, a_ref, d_ref, tab0_ref, tab1_ref, comps_ref, o_ref):
+def _mul_mxu_kernel(ctx: FieldCtx, use_bf16, a_ref, d_ref, htabs_ref, comps_ref, o_ref):
     at = a_ref[:].T  # [L, B]
     a = _nibble_rows(at)  # [4L, B]
     m = _mm(use_bf16, d_ref[:], _to_f32(a))
-    o_ref[:] = _lincomb_epilogue(ctx, use_bf16, m, tab0_ref, tab1_ref, comps_ref[:]).T
+    o_ref[:] = _lincomb_epilogue(ctx, use_bf16, m, htabs_ref, comps_ref[:]).T
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -242,7 +250,7 @@ def mul_const_mxu_pallas(ctx: FieldCtx, a: jnp.ndarray, c_mont: jnp.ndarray, blo
     Bit-identical to ``arith.mont_mul(ctx, a, c)``; N % block == 0.
     """
     N, L = a.shape
-    _, tab0_np, tab1_np, comps_np = _static_tables(ctx.name)
+    _, htabs_np, comps_np = _static_tables(ctx.name)
     rows = const_rows(ctx, c_mont[None])  # [1, 4, L, L]
     d = _rows_to_bytes_T(ctx, rows)  # [2L, 4L] f32
     on_tpu = jax.default_backend() == "tpu"
@@ -253,13 +261,12 @@ def mul_const_mxu_pallas(ctx: FieldCtx, a: jnp.ndarray, c_mont: jnp.ndarray, blo
         in_specs=[
             pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * L, 4 * L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * L, _H0), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * L, _H1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 2 * L, _HN), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=not on_tpu,
-    )(a, d, jnp.asarray(tab0_np), jnp.asarray(tab1_np), jnp.asarray(comps_np))
+    )(a, d, jnp.asarray(htabs_np), jnp.asarray(comps_np))
 
 
 # ---------------------------------------------------------------------------
@@ -273,13 +280,13 @@ def mul_const_mxu_pallas(ctx: FieldCtx, a: jnp.ndarray, c_mont: jnp.ndarray, blo
 # ---------------------------------------------------------------------------
 
 
-def _fold_mxu_lm_kernel(ctx: FieldCtx, use_bf16, lo_ref, hi_ref, d_ref, tab0_ref, tab1_ref, comps_ref, o_ref, s_ref):
+def _fold_mxu_lm_kernel(ctx: FieldCtx, use_bf16, lo_ref, hi_ref, d_ref, htabs_ref, comps_ref, o_ref, s_ref):
     L = ctx.L
     lo = lo_ref[0]  # [L, B] already limb-major
     hi = hi_ref[0]
     a = jnp.concatenate([_nibble_rows(lo), _nibble_rows(hi)], axis=0)  # [8L, B]
     m = _mm(use_bf16, d_ref[:], _to_f32(a))
-    out = _lincomb_epilogue(ctx, use_bf16, m, tab0_ref, tab1_ref, comps_ref[:])
+    out = _lincomb_epilogue(ctx, use_bf16, m, htabs_ref, comps_ref[:])
     o_ref[0] = out
 
     s = jnp.sum(out.astype(jnp.int32), axis=1).astype(jnp.uint32)
@@ -298,7 +305,7 @@ def fold_mxu_lm(ctx: FieldCtx, lm: jnp.ndarray, r: jnp.ndarray, block: int = 204
     B, L, N2 = lm.shape
     T = N2 // 2
     nblocks = T // block
-    _, tab0_np, tab1_np, comps_np = _static_tables(ctx.name)
+    _, htabs_np, comps_np = _static_tables(ctx.name)
 
     from .arith import sub as mod_sub
 
@@ -318,8 +325,7 @@ def fold_mxu_lm(ctx: FieldCtx, lm: jnp.ndarray, r: jnp.ndarray, block: int = 204
             pl.BlockSpec((1, L, block), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, block), lambda b, j, _n=nblocks: (b, 0, j + _n), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * L, 8 * L), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * L, _H0), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * L, _H1), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 2 * L, _HN), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, L + 1), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -327,4 +333,4 @@ def fold_mxu_lm(ctx: FieldCtx, lm: jnp.ndarray, r: jnp.ndarray, block: int = 204
             pl.BlockSpec((1, nblocks, L + 2), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=not on_tpu,
-    )(lm, lm, d, jnp.asarray(tab0_np), jnp.asarray(tab1_np), jnp.asarray(comps_np))
+    )(lm, lm, d, jnp.asarray(htabs_np), jnp.asarray(comps_np))
