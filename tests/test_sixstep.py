@@ -50,3 +50,35 @@ def test_split_logs():
     assert sum(_split_logs(17)) == 17
     for k in range(9, 25):
         assert all(3 <= l <= 8 for l in _split_logs(k))
+
+
+def test_sixstep_mxu_matches_vpu():
+    """The MXU digit-matmul plan must equal the butterfly plan bit-for-bit
+    (forward and inverse, radix <= 2^5 split vs <= 2^8 split)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_zk.fields.arith import field_ctx
+    from tpu_zk.ntt.ntt import NTT
+    from tpu_zk.ntt.sixstep import SixStepPlan
+
+    ctx = field_ctx("bn254_fr")
+    n_log2 = 10
+    ntt = NTT("bn254_fr", n_log2)
+    n = 1 << n_log2
+    rng = np.random.default_rng(3)
+    vals = [(int(a) * int(b)) % ctx.p for a, b in rng.integers(1, 2**60, size=(n, 2))]
+    table = ctx.array(vals)
+
+    fwd_vpu = SixStepPlan("bn254_fr", n_log2, ntt.root, use_mxu=False)
+    fwd_mxu = SixStepPlan("bn254_fr", n_log2, ntt.root, use_mxu=True)
+    a = fwd_vpu(table)
+    b = fwd_mxu(table)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    inv_vpu = SixStepPlan("bn254_fr", n_log2, ntt.root, inverse=True, use_mxu=False)
+    inv_mxu = SixStepPlan("bn254_fr", n_log2, ntt.root, inverse=True, use_mxu=True)
+    ia = inv_vpu(b)
+    ib = inv_mxu(b)
+    assert np.array_equal(np.asarray(ia), np.asarray(ib))
+    assert np.array_equal(np.asarray(ia), np.asarray(table))  # roundtrip

@@ -41,9 +41,9 @@ from .arith import LIMB_BITS, MASK, FieldCtx, _limbs_of_int, mont_mul
 from .pallas_kernels import _col, _propagate_rows
 
 # the 2^(16L)-overflow limb h (one strict 16-bit limb) corrects via its four
-# nibbles: corr = sum_g tab_g[nib_g(h)], each table 16 reduced rows -- covers
-# any h < 2^16, which admits digit matmuls with up to 2^24-exact accumulators
-_HN = 16
+# nibbles: corr = sum_g nib_g(h) * (2^(16L+4g) mod p) -- plain u32 broadcast
+# multiplies (products < 2^20, exact), no gathers or one-hot dots, so the
+# epilogue also works on rank-3 blocks (the DFT kernel's [L, m, bb])
 
 
 def _to_f32(x: jnp.ndarray) -> jnp.ndarray:
@@ -71,29 +71,19 @@ def _static_tables(name: str):
         [np.stack([_limbs_of_int(pow(2, 16 * l + 4 * g, p), L) for l in range(L)]) for g in range(4)]
     )
 
-    # overflow-limb correction tables: value + h*2^(16L) with
-    # h = sum_g nib_g(h)*16^g, rows already reduced mod p, stored as
-    # TRANSPOSED BYTE digits [4, 2L, 16] (low bytes then high bytes): one
-    # one-hot matmul per nibble selects one row each.  Byte entries are
-    # exact in bf16 -- Mosaic lowers f32 matmuls as single-pass bf16, which
-    # silently rounds 16-bit table entries.
-    def _tab_T_bytes(rows):
-        limbs = np.stack(rows)  # [H, L]
-        return np.concatenate([(limbs & 0xFF).T, (limbs >> 8).T], axis=0).astype(np.float32)
-
-    htabs = np.stack([
-        _tab_T_bytes([_limbs_of_int((m << (4 * g)) * R % p, L) for m in range(_HN)])
-        for g in range(4)
-    ])  # [4, 2L, 16]
-
-    # conditional-subtract constants at width L+1: B^(L+1) - k*p.  The
-    # epilogue value is < 2^(16L) + 2p < 16p for any L with p > B^L/14
-    # (all supported fields), so an 8,4,2,1 chain always lands < p.
+    # epilogue constants, one [11, L+1] array: rows 0..6 are the
+    # conditional-subtract values B^(L+1) - k*p for k = 64..1 (the corrected
+    # value is < 2^(16L) + 60p < 128p for every supported field); rows 7..10
+    # are the overflow-nibble row constants E_g = 2^(16L+4g) mod p.
     W = L + 1
     BW = 1 << (LIMB_BITS * W)
-    assert (1 << (LIMB_BITS * L)) + 4 * p < 16 * p
-    comps = np.stack([_limbs_of_int(BW - k * p, W) for k in (8, 4, 2, 1)])
-    return m16, htabs, comps
+    assert (1 << (LIMB_BITS * L)) + 60 * p < 128 * p
+    epi = np.zeros((11, W), np.uint32)
+    for i, k in enumerate((64, 32, 16, 8, 4, 2, 1)):
+        epi[i] = _limbs_of_int(BW - k * p, W)
+    for g in range(4):
+        epi[7 + g, :L] = _limbs_of_int((1 << (4 * g)) * R % p, L)
+    return m16, epi
 
 
 def const_rows(ctx: FieldCtx, c_mont: jnp.ndarray) -> jnp.ndarray:
@@ -133,35 +123,36 @@ def _nibble_rows(at: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([(at >> s) & 0xF for s in (0, 4, 8, 12)], axis=0)
 
 
-def _lincomb_epilogue(ctx: FieldCtx, use_bf16: bool, m_f32: jnp.ndarray, htabs_ref, comps: jnp.ndarray) -> jnp.ndarray:
-    """Lazy byte coefficients [2L, B] f32 -> canonical strict limbs [L, B]
-    u32 of the value mod p.  VPU + tiny one-hot matmuls.
+def _lincomb_epilogue(ctx: FieldCtx, m_f32: jnp.ndarray, epi: jnp.ndarray) -> jnp.ndarray:
+    """Lazy byte coefficients [2L, ...] f32 -> canonical strict limbs
+    [L, ...] u32 of the value mod p.  Pure VPU (rank-agnostic).
 
     Caller contract: each coefficient < 2^23 (so the 16-bit repack stays
     below 2^32 - 2^16) and the total value < 2^16 * 2^(16L) (so the
     overflow fits one limb) -- both hold for digit matmuls of up to 2048
-    nibble rows (the radix-32 DFT is the largest user)."""
+    nibble rows (the radix-32 DFT is the largest user).
+
+    epi: the [11, L+1(, 1)] constant block from ``_static_tables`` (seven
+    cond-sub rows + four overflow-nibble rows E_g = 2^(16L+4g) mod p)."""
     L = ctx.L
     mu = _f32_to_u32(m_f32)  # exact: integer values < 2^23
-    B = mu.shape[1]
     # pack byte halves into 16-bit limb positions (group-major rows:
     # 0..L-1 = low bytes, L..2L-1 = high bytes; contiguous slices only)
-    t = mu[:L] + (mu[L:] << 8)  # [L, B], < 2^32 - 2^16 (propagate-safe)
+    t = mu[:L] + (mu[L:] << 8)  # < 2^32 - 2^16 (propagate-safe)
     strict = _propagate_rows(t, L + 1)  # value < 2^16 * 2^(16L)
-    h = strict[L].astype(jnp.int32)  # [B], < 2^16
+    h = strict[L]  # [...], < 2^16
     lo = strict[:L]
-    # correction: + (h * 2^(16L) mod p) via one one-hot matmul per h-nibble
-    corr = jnp.zeros((L, B), jnp.uint32)
+    # correction: + (h * 2^(16L) mod p) = sum_g nib_g(h) * E_g, with every
+    # product nib * E_g_limb < 2^20 exact in u32; corr value < 60p
+    corr = jnp.zeros_like(lo)
     for g in range(4):
-        nib = ((h >> (4 * g)) & 0xF)[None, :]
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (_HN, B), 0) == nib).astype(jnp.float32)
-        cb = _f32_to_u32(_mm(use_bf16, htabs_ref[g], oh))  # [2L, B] bytes
-        corr = corr + cb[:L] + (cb[L:] << 8)  # < 4 * 2^16
-    v = _propagate_rows(lo + corr, L + 1)  # < 2^(16L) + 4p < 16p
-    # conditional subtracts: 8p, 4p, 2p, p
-    for row in range(4):
+        nib = ((h >> (4 * g)) & 0xF)[None]
+        corr = corr + nib * _col(epi, 7 + g, L, lo.ndim)
+    v = _propagate_rows(lo + corr, L + 1)  # < 2^(16L) + 60p < 128p
+    # conditional subtracts: 64p, 32p, ..., p
+    for row in range(7):
         W = L + 1
-        d = _propagate_rows(v + _col(comps, row, W, v.ndim), W + 1)
+        d = _propagate_rows(v + _col(epi, row, W, v.ndim), W + 1)
         ge = d[W] != 0
         v = jnp.where(ge[None], d[:W], v)
     return v[:L]
@@ -176,13 +167,13 @@ def _mm(use_bf16: bool, d: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(d, a, preferred_element_type=jnp.float32)
 
 
-def _fold_mxu_kernel(ctx: FieldCtx, use_bf16, lo_ref, hi_ref, d_ref, htabs_ref, comps_ref, o_ref, s_ref):
+def _fold_mxu_kernel(ctx: FieldCtx, use_bf16, lo_ref, hi_ref, d_ref, epi_ref, o_ref, s_ref):
     L = ctx.L
     lo = lo_ref[0].T  # [L, B]
     hi = hi_ref[0].T
     a = jnp.concatenate([_nibble_rows(lo), _nibble_rows(hi)], axis=0)  # [8L, B]
     m = _mm(use_bf16, d_ref[:], _to_f32(a))
-    out = _lincomb_epilogue(ctx, use_bf16, m, htabs_ref, comps_ref[:])
+    out = _lincomb_epilogue(ctx, m, epi_ref[:])
     o_ref[0] = out.T
 
     # per-block lazy sum of the folded values (same contract as fold_pallas)
@@ -204,7 +195,7 @@ def fold_mxu_pallas(ctx: FieldCtx, flat: jnp.ndarray, r: jnp.ndarray, block: int
     B, N2, L = flat.shape
     T = N2 // 2
     nblocks = T // block
-    m16_np, htabs_np, comps_np = _static_tables(ctx.name)
+    m16_np, epi_np = _static_tables(ctx.name)
 
     one = ctx.one_mont
     from .arith import sub as mod_sub
@@ -225,22 +216,21 @@ def fold_mxu_pallas(ctx: FieldCtx, flat: jnp.ndarray, r: jnp.ndarray, block: int
             pl.BlockSpec((1, block, L), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, L), lambda b, j, _n=nblocks: (b, j + _n, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * L, 8 * L), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 2 * L, _HN), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, L + 1), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((11, L + 1), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block, L), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nblocks, L + 2), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=not on_tpu,
-    )(flat, flat, d, jnp.asarray(htabs_np), jnp.asarray(comps_np))
+    )(flat, flat, d, jnp.asarray(epi_np))
 
 
-def _mul_mxu_kernel(ctx: FieldCtx, use_bf16, a_ref, d_ref, htabs_ref, comps_ref, o_ref):
+def _mul_mxu_kernel(ctx: FieldCtx, use_bf16, a_ref, d_ref, epi_ref, o_ref):
     at = a_ref[:].T  # [L, B]
     a = _nibble_rows(at)  # [4L, B]
     m = _mm(use_bf16, d_ref[:], _to_f32(a))
-    o_ref[:] = _lincomb_epilogue(ctx, use_bf16, m, htabs_ref, comps_ref[:]).T
+    o_ref[:] = _lincomb_epilogue(ctx, m, epi_ref[:]).T
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -250,7 +240,7 @@ def mul_const_mxu_pallas(ctx: FieldCtx, a: jnp.ndarray, c_mont: jnp.ndarray, blo
     Bit-identical to ``arith.mont_mul(ctx, a, c)``; N % block == 0.
     """
     N, L = a.shape
-    _, htabs_np, comps_np = _static_tables(ctx.name)
+    _, epi_np = _static_tables(ctx.name)
     rows = const_rows(ctx, c_mont[None])  # [1, 4, L, L]
     d = _rows_to_bytes_T(ctx, rows)  # [2L, 4L] f32
     on_tpu = jax.default_backend() == "tpu"
@@ -261,12 +251,11 @@ def mul_const_mxu_pallas(ctx: FieldCtx, a: jnp.ndarray, c_mont: jnp.ndarray, blo
         in_specs=[
             pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * L, 4 * L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 2 * L, _HN), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((11, L + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=not on_tpu,
-    )(a, d, jnp.asarray(htabs_np), jnp.asarray(comps_np))
+    )(a, d, jnp.asarray(epi_np))
 
 
 # ---------------------------------------------------------------------------
@@ -280,13 +269,13 @@ def mul_const_mxu_pallas(ctx: FieldCtx, a: jnp.ndarray, c_mont: jnp.ndarray, blo
 # ---------------------------------------------------------------------------
 
 
-def _fold_mxu_lm_kernel(ctx: FieldCtx, use_bf16, lo_ref, hi_ref, d_ref, htabs_ref, comps_ref, o_ref, s_ref):
+def _fold_mxu_lm_kernel(ctx: FieldCtx, use_bf16, lo_ref, hi_ref, d_ref, epi_ref, o_ref, s_ref):
     L = ctx.L
     lo = lo_ref[0]  # [L, B] already limb-major
     hi = hi_ref[0]
     a = jnp.concatenate([_nibble_rows(lo), _nibble_rows(hi)], axis=0)  # [8L, B]
     m = _mm(use_bf16, d_ref[:], _to_f32(a))
-    out = _lincomb_epilogue(ctx, use_bf16, m, htabs_ref, comps_ref[:])
+    out = _lincomb_epilogue(ctx, m, epi_ref[:])
     o_ref[0] = out
 
     s = jnp.sum(out.astype(jnp.int32), axis=1).astype(jnp.uint32)
@@ -305,7 +294,7 @@ def fold_mxu_lm(ctx: FieldCtx, lm: jnp.ndarray, r: jnp.ndarray, block: int = 204
     B, L, N2 = lm.shape
     T = N2 // 2
     nblocks = T // block
-    _, htabs_np, comps_np = _static_tables(ctx.name)
+    _, epi_np = _static_tables(ctx.name)
 
     from .arith import sub as mod_sub
 
@@ -325,12 +314,111 @@ def fold_mxu_lm(ctx: FieldCtx, lm: jnp.ndarray, r: jnp.ndarray, block: int = 204
             pl.BlockSpec((1, L, block), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, block), lambda b, j, _n=nblocks: (b, 0, j + _n), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * L, 8 * L), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 2 * L, _HN), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, L + 1), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((11, L + 1), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, L, block), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nblocks, L + 2), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=not on_tpu,
-    )(lm, lm, d, jnp.asarray(htabs_np), jnp.asarray(comps_np))
+    )(lm, lm, d, jnp.asarray(epi_np))
+
+
+# ---------------------------------------------------------------------------
+# radix-m DFT pass on the MXU (the NTT building block)
+#
+# A full m-point NTT column is ALSO a linear map over the inputs' limb
+# digits: out[k] = sum_n x[n] * w^(nk), so one [m*2L, m*4L] x [m*4L, bb]
+# bf16 matmul transforms bb lanes of m elements at once -- twiddle
+# multiplies, butterflies, and modular reduction all ride the systolic
+# array.  m <= 32 keeps every f32 accumulator < 15*255*(32*4L) = 2^22.9
+# (exact) and the value < 2048*15*p < 2^16 * 2^(16L) (epilogue contract).
+# Replaces the stage-at-a-time Gentleman-Sande sweep of ntt/sixstep.py;
+# the output digit order is bit-reversed to match the DIF convention.
+# ---------------------------------------------------------------------------
+
+
+def dft_matrix(ctx: FieldCtx, w_m: int, m: int, scale: int = 1) -> np.ndarray:
+    """Host-built digit matrix D [2L*m, m*4L] f32 for one radix-m DFT.
+
+    Row (b*m + jr): byte b of output digit jr, byte-position-major so the
+    kernel reshapes the matmul output [2L*m, bb] -> [2L, m, bb] with one
+    leading-dim split (sublane-safe) and runs ONE rank-3 epilogue.  Output
+    digits jr enumerate k in BIT-REVERSED order, matching the DIF sweep.
+    Column (n*4L + g*L + l) = operand x[n]'s nibble (g, l).
+    Entry = byte_b(scale * w^(n*rev(j)) * 2^(16l+4g) mod p); ``scale``
+    folds the inverse transform's 1/N into the matrix for free."""
+    L = ctx.L
+    p = ctx.p
+    S = m.bit_length() - 1
+    rev = [int(f"{j:0{S}b}"[::-1], 2) if S else 0 for j in range(m)]
+    shifts = [pow(2, 16 * l + 4 * g, p) for g in range(4) for l in range(L)]
+    nb = 2 * L
+    # V[j, n, gl, b] = byte b (LE) of scale * w^(n*rev(j)) * 2^(16l+4g) mod p
+    V = np.zeros((m, m, 4 * L, nb), np.uint8)
+    for j in range(m):
+        k = rev[j]
+        w_nk = 1
+        w_step = pow(w_m, k, p)
+        for n in range(m):
+            base = scale * w_nk % p
+            for gl, sh in enumerate(shifts):
+                V[j, n, gl] = np.frombuffer((base * sh % p).to_bytes(nb, "little"), np.uint8)
+            w_nk = w_nk * w_step % p
+    # group LE bytes: rows 0..L-1 = low byte of limb, L..2L-1 = high byte
+    V = np.concatenate([V[..., 0::2], V[..., 1::2]], axis=-1)
+    # rows (b, j), cols (n, g, l)
+    return np.ascontiguousarray(
+        V.transpose(3, 0, 1, 2).reshape(nb * m, m * 4 * L)
+    ).astype(np.float32)
+
+
+def _dft_mxu_kernel(ctx: FieldCtx, use_bf16, m: int, pre: bool, x_ref, d_ref, pre_ref, cios_ref, epi_ref, o_ref):
+    """x_ref [L, m, bb]: optional pre-twiddle multiply (limb-major CIOS on
+    the VPU), then the DFT digit matmul + one rank-3 epilogue."""
+    from .pallas_kernels import _mont_mul_rows
+
+    L = ctx.L
+    t = x_ref[:]
+    if pre:
+        t = _mont_mul_rows(ctx, t, pre_ref[:], cios_ref[:])
+    # digits: rows (n, g, l) -> concat over n of nibble rows
+    a = jnp.concatenate([_nibble_rows(t[:, n, :]) for n in range(m)], axis=0)  # [m4L, bb]
+    mm = _mm(use_bf16, d_ref[:], _to_f32(a))  # [2L*m, bb]
+    mm3 = mm.reshape(2 * L, m, mm.shape[-1])  # leading split: rows (b, j)
+    o_ref[:] = _lincomb_epilogue(ctx, mm3, epi_ref[:])  # [L, m, bb]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def dft_mxu(ctx: FieldCtx, x: jnp.ndarray, d: jnp.ndarray, m: int, bb: int,
+            pre: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Batched radix-m DFT over axis 1: x [L, m, B] -> [L, m, B] (digit
+    bit-reversed, DIF convention), optionally pre-multiplied elementwise by
+    ``pre [L, m, B]`` (the six-step inter-factor twiddles).  B % bb == 0."""
+    from .pallas_kernels import _consts_for
+
+    L, m_, B = x.shape
+    m16_np, epi_np = _static_tables(ctx.name)
+    epi3 = jnp.asarray(epi_np)[:, :, None]  # rank-3 _col layout
+    cios3 = jnp.asarray(_consts_for(ctx.name))[:, :, None]
+    on_tpu = jax.default_backend() == "tpu"
+    col_spec = pl.BlockSpec((L, m, bb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    in_specs = [
+        col_spec,
+        pl.BlockSpec(d.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        col_spec if pre is not None else pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(cios3.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(epi3.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    pre_arg = pre if pre is not None else jnp.zeros((1, 1, 1), jnp.uint32)
+    if on_tpu:
+        d = d.astype(jnp.bfloat16)  # halves the VMEM block; _mm cast is a no-op
+    return pl.pallas_call(
+        functools.partial(_dft_mxu_kernel, ctx, on_tpu, m, pre is not None),
+        out_shape=jax.ShapeDtypeStruct((L, m, B), jnp.uint32),
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=col_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=not on_tpu,
+    )(x, d, pre_arg, cios3, epi3)

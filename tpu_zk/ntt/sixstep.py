@@ -151,28 +151,60 @@ def _batched_dif(ctx: FieldCtx, x: jnp.ndarray, tws: jnp.ndarray, bb: int,
 
 
 class SixStepPlan:
-    """Precomputed tables for one (field, N, root) multi-pass transform."""
+    """Precomputed tables for one (field, N, root) multi-pass transform.
 
-    def __init__(self, field_name: str, n_log2: int, root: int, inverse: bool = False):
+    Two execution modes share the same math and pre-twiddle tables:
+
+    * ``use_mxu=False``: Gentleman-Sande butterfly sweeps on the VPU
+      (``_batched_dif``), factors up to 2^8.
+    * ``use_mxu=True`` (default on TPU): each radix-m pass is ONE digit
+      matmul on the MXU (``fields.mxu_mul.dft_mxu``), factors up to 2^5 --
+      the exactness cap of f32 accumulation.  The inverse 1/N scale folds
+      into the last pass's matrix for free.
+
+    Both emit digits bit-reversed (DIF convention), so pass structure,
+    pre-twiddles, and the final reorder are identical.
+    """
+
+    def __init__(self, field_name: str, n_log2: int, root: int, inverse: bool = False,
+                 use_mxu: bool | None = None):
         ctx = field_ctx(field_name)
         self.ctx = ctx
         self.n_log2 = n_log2
         self.N = 1 << n_log2
         p = ctx.p
         w = pow(root, p - 2, p) if inverse else root
-        self.logs = _split_logs(n_log2)
+        if use_mxu is None:
+            use_mxu = jax.default_backend() == "tpu"
+        self.use_mxu = use_mxu
+        self.logs = _split_logs(n_log2, max_log=5 if use_mxu else 8)
         self.ms = [1 << l for l in self.logs]
         R = len(self.ms)
         self.revs = [_bit_reverse(l) for l in self.logs]
 
-        # per-pass butterfly twiddles: pass i uses the canonical m_i-th root
-        self.tws = [
-            self._stage_twiddles(pow(w, self.N // m, p), m) for m in self.ms
-        ]
+        inv_n = pow(self.N, p - 2, p)
+        if use_mxu:
+            from ..fields.mxu_mul import dft_matrix
+
+            self.Ds = [
+                jnp.asarray(dft_matrix(
+                    ctx,
+                    pow(w, self.N // m, p),
+                    m,
+                    scale=(inv_n if inverse and i == R - 1 else 1),
+                ))
+                for i, m in enumerate(self.ms)
+            ]
+            self.tws = None
+        else:
+            # per-pass butterfly twiddles: pass i uses the canonical m_i-th root
+            self.tws = [
+                self._stage_twiddles(pow(w, self.N // m, p), m) for m in self.ms
+            ]
         # per-pass fused pre-twiddles (pass 0 has none)
         self.pres = [None] + [self._pre_matrix(w, i) for i in range(1, R)]
         self.scale = (
-            tuple(int(v) for v in np.asarray(ctx.scalar(pow(self.N, p - 2, p))))
+            tuple(int(v) for v in np.asarray(ctx.scalar(inv_n)))
             if inverse
             else None
         )
@@ -264,13 +296,18 @@ class SixStepPlan:
             x = x.reshape(L, ms[i], -1)
             B = x.shape[2]
             blk = bb if B % bb == 0 else B
-            scale = self.scale if i == R - 1 else None
-            if scale is not None and self.pres[i] is None:  # R == 1 inverse
-                x = _batched_dif(ctx, x, self.tws[i], blk, None, None)
-                s = jnp.asarray(scale, jnp.uint32)
-                x = arith.mont_mul(ctx, x.transpose(1, 2, 0), s).transpose(2, 0, 1)
+            if self.use_mxu:
+                from ..fields.mxu_mul import dft_mxu
+
+                x = dft_mxu(ctx, x, self.Ds[i], ms[i], blk, self.pres[i])
             else:
-                x = _batched_dif(ctx, x, self.tws[i], blk, self.pres[i], scale)
+                scale = self.scale if i == R - 1 else None
+                if scale is not None and self.pres[i] is None:  # R == 1 inverse
+                    x = _batched_dif(ctx, x, self.tws[i], blk, None, None)
+                    s = jnp.asarray(scale, jnp.uint32)
+                    x = arith.mont_mul(ctx, x.transpose(1, 2, 0), s).transpose(2, 0, 1)
+                else:
+                    x = _batched_dif(ctx, x, self.tws[i], blk, self.pres[i], scale)
             x = x.reshape(L, ms[i], *shape[2:])
             # restore canonical order [L, k_0r.., k_ir, n_{i+1}..]
             inv = (0,) + tuple(range(2, i + 2)) + (1,) + tuple(range(i + 2, R + 1))
