@@ -47,6 +47,21 @@ def _pad_tail_msms() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _padded_size(n: int) -> int:
+    """Snap an MSM size to the {2^11, 2^13, 2^15, ...} grid.
+
+    Every Pippenger shape costs a minutes-long compile through the tunnel;
+    ``open_and_prove`` at 2^d otherwise compiles d distinct sizes.  The
+    power-of-4 grid caps that at d/2 shapes shared across all depths (the
+    top quotient MSM of a 2^(2k) open lands exactly on the grid)."""
+    if n <= _PAD_SHAPE:
+        return _PAD_SHAPE
+    e = (n - 1).bit_length()  # next power of two
+    if e % 2 == 0:
+        e += 1  # odd exponents: 2^11, 2^13, ...
+    return 1 << e
+
+
 def commit_to_polynomial(
     polynomial: MultilinearPolynomial, trusted_setup: TrustedSetup
 ):
@@ -95,12 +110,12 @@ def open_and_prove(
         quotient = arith.sub(fr, sub_table[half:], sub_table[:half])
         base = folded_bases[i]
         scalars = arith.from_mont(fr, quotient)
-        # TPU: pad every sub-2048 tail MSM up to one shared Pippenger shape
-        # (identity points + zero scalars add nothing); per-size double-and-add
-        # fallbacks would each compile their own ~min-long program through the
-        # tunnel, dwarfing the actual math
-        if _pad_tail_msms() and scalars.shape[0] < _PAD_SHAPE:
-            pad = _PAD_SHAPE - scalars.shape[0]
+        # TPU: pad every MSM up to the shared power-of-4 Pippenger shape grid
+        # (identity points + zero scalars add nothing); per-size programs
+        # would each cost a minutes-long compile through the tunnel,
+        # dwarfing the actual math
+        if _pad_tail_msms() and scalars.shape[0] != _padded_size(scalars.shape[0]):
+            pad = _padded_size(scalars.shape[0]) - scalars.shape[0]
             ident = ec_identity(dc.ctx)
             base = tuple(
                 jnp.concatenate([c, jnp.broadcast_to(z, (pad,) + z.shape)])

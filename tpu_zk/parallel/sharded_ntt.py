@@ -45,8 +45,13 @@ def _pass_local(plan: SixStepPlan, i: int, x: jnp.ndarray, pre) -> jnp.ndarray:
     x = x.reshape(L, ms[i], -1)
     B = x.shape[2]
     blk = plan.bb if B % plan.bb == 0 else B
-    scale = plan.scale if i == R - 1 else None
-    x = _batched_dif(ctx, x, plan.tws[i], blk, pre, scale)
+    if plan.use_mxu:
+        from ..fields.mxu_mul import dft_mxu
+
+        x = dft_mxu(ctx, x, plan.Ds[i], ms[i], blk, pre)
+    else:
+        scale = plan.scale if i == R - 1 else None
+        x = _batched_dif(ctx, x, plan.tws[i], blk, pre, scale)
     x = x.reshape(L, ms[i], *shape[2:])
     inv = (0,) + tuple(range(2, i + 2)) + (1,) + tuple(range(i + 2, R + 1))
     return x.transpose(inv)

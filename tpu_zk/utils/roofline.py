@@ -92,19 +92,23 @@ def sumcheck_round_model(n_log2: int, L: int = 16) -> KernelModel:
     )
 
 
-def ntt_model(n_log2: int, L: int = 16, passes: int = 3) -> KernelModel:
-    """Multi-pass Bailey NTT: each pass streams the table once and performs
-    log2(N)/passes butterfly stages in VMEM (1 mont_mul + add + sub each)."""
+def ntt_model(n_log2: int, L: int = 16, radix_log2: int = 5) -> KernelModel:
+    """Multi-pass six-step NTT with radix-2^5 MXU DFT passes
+    (fields/mxu_mul.dft_mxu): each pass streams the table through one digit
+    matmul (m*4L x 2L MACs per element) plus the XLA digit-reorder transpose
+    (counted as an extra memory pass); pre-twiddle CIOS multiplies stay on
+    the VPU for passes >= 1."""
     N = 1 << n_log2
-    stages = n_log2
-    mul_m, add_m = _mont_mul_ops(N / 2 * stages, L)
-    # pre-twiddle multiplies for passes >= 1
-    mul_t, add_t = _mont_mul_ops(N * (passes - 1), L)
+    passes = -(-n_log2 // radix_log2)
+    m = 1 << radix_log2
+    macs = N * passes * (m * 4 * L) * 2 * L / m  # per elem: 4L*2L*m / m outputs
+    mul_t, add_t = _mont_mul_ops(N * (passes - 1), L)  # pre-twiddles (VPU)
     return KernelModel(
         name=f"ntt fwd 2^{n_log2}",
-        bytes_moved=2.0 * N * L * 4 * passes,
-        u32_muls=mul_m + mul_t,
-        u32_adds=add_m + add_t + 2 * (N / 2) * stages * L,
+        bytes_moved=2.0 * N * L * 4 * (2 * passes),  # kernel + reorder passes
+        u32_muls=mul_t,
+        u32_adds=add_t + 40.0 * N * passes * L,  # epilogue carries/selects
+        mxu_macs=macs,
     )
 
 
