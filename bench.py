@@ -248,7 +248,7 @@ def bench_kzg(n_log2=18):
     }
 
 
-def bench_sparse_gkr(depth=10):
+def bench_sparse_gkr(depth=13):
     """Fused linear-time GKR over a 2^depth-input reduction tree (config-5
     shape): pooled per-size round programs, async device chaining."""
     import numpy as np
@@ -337,7 +337,7 @@ def main():
 
     sections = [
         ("sumcheck_round", bench_sumcheck_round),
-        ("gkr", bench_sparse_gkr),
+        ("gkr", bench_sparse_gkr),  # depth 13: 8191-gate tree (sizes warm in cache)
         ("fri", bench_fri),
         ("msm", bench_msm),
         ("ntt", bench_ntt),
