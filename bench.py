@@ -54,6 +54,18 @@ def timeit(fn, warmup=1, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
+def best_of(fn, reps=3):
+    """Min over reps timed runs: the tunnel's per-dispatch latency swings
+    2-4x between sessions, and host-loop sections (many dispatches) inherit
+    that noise; the minimum tracks the kernel's actual cost."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_sumcheck_round(n_log2=20, iters=10):
     """One fused sumcheck prover round (fold + half-sums) at 2^n.
 
@@ -112,9 +124,7 @@ def bench_full_sumcheck(n_log2=18):
         return basic.Prover(poly).prove()
 
     run()  # warmup/compile
-    t0 = time.perf_counter()
-    run()
-    dt = time.perf_counter() - t0
+    dt = best_of(run)
     log(f"full sumcheck prove 2^{n_log2}: {dt:.2f} s ({n_log2/dt:.2f} rounds/s)")
     return {"full_prove_s": dt, "rounds_per_s": n_log2 / dt, "n_log2": n_log2}
 
@@ -156,7 +166,8 @@ def bench_ntt(n_log2=20):
     limbs[:, 0] = np.arange(n, dtype=np.uint32) % 65521
     table = jnp.asarray(limbs)
 
-    dt_f = timeit(lambda: ntt.forward(table))
+    force(ntt.forward(table))  # warmup/compile
+    dt_f = best_of(lambda: force(ntt.forward(table)))
     log(f"ntt fwd 2^{n_log2}: {dt_f*1e3:.1f} ms ({n/dt_f/1e6:.1f} M elem/s)")
     return {"ntt_forward_s": dt_f, "ntt_elems_per_s": n / dt_f, "n_log2": n_log2}
 
@@ -185,9 +196,7 @@ def bench_fri(n_log2=18):
         return prove(cfg, codeword, Transcript())
 
     run()  # warmup/compile
-    t0 = time.perf_counter()
-    run()
-    dt = time.perf_counter() - t0
+    dt = best_of(run)
     log(f"fri prove 2^{n_log2}: {dt:.2f} s ({n/dt/1e6:.2f} M elems/s)")
     return {"fri_prove_s": dt, "fri_elems_per_s": n / dt, "n_log2": n_log2}
 
@@ -197,9 +206,12 @@ def bench_msm_large(n_log2=20, curve="bls12_381"):
     return bench_msm(n_log2=n_log2, curve=curve)
 
 
-def bench_kzg(n_log2=18):
+def bench_kzg(n_log2=16):
     """Multilinear KZG commit + open + verify at 2^n evaluations
-    (config 4; reference multilinear_kzg.rs:25-158)."""
+    (reference multilinear_kzg.rs:25-158).  Config-4 scale (2^20) is
+    timed in the north-star run (benchmarks/north_star.json: the depth-20
+    entry's prove includes the 2^20 commit and both opens); this section
+    keeps a repeatable same-shapes measurement inside the bench budget."""
     import numpy as np
 
     from tpu_zk.fields import arith
@@ -268,9 +280,7 @@ def bench_sparse_gkr(depth=13):
     table = arith.mont_mul(ctx, jnp.asarray(plain), r2)
 
     fused_sparse.prove(circuit, table)  # warmup/compile
-    t0 = time.perf_counter()
-    fused_sparse.prove(circuit, table)
-    dt = time.perf_counter() - t0
+    dt = best_of(lambda: fused_sparse.prove(circuit, table))
     gates = n - 1
     log(f"sparse gkr prove 2^{depth}-input tree: {dt:.2f} s ({gates/dt:.0f} gates/s)")
     return {"gkr_prove_s": dt, "gkr_gates_per_s": gates / dt, "depth": depth}
@@ -335,15 +345,18 @@ def main():
         except Exception:
             prev_results = None
 
+    # ordered by information value: a fresh process pays ~100 s of cached-
+    # program loading for each dispatch-heavy section, so under a tight
+    # budget the later sections carry their previous in-round numbers
     sections = [
         ("sumcheck_round", bench_sumcheck_round),
-        ("gkr", bench_sparse_gkr),  # depth 13: 8191-gate tree (sizes warm in cache)
-        ("fri", bench_fri),
-        ("msm", bench_msm),
-        ("ntt", bench_ntt),
-        ("full_sumcheck", bench_full_sumcheck),
         ("sumcheck_round_24", lambda: bench_sumcheck_round(n_log2=24, iters=2)),
-        ("kzg", bench_kzg),  # before msm_20: r3 ran out of budget with kzg last
+        ("ntt", bench_ntt),
+        ("gkr", bench_sparse_gkr),  # depth 13: 8191-gate tree (sizes warm in cache)
+        ("msm", bench_msm),
+        ("fri", bench_fri),
+        ("full_sumcheck", bench_full_sumcheck),
+        ("kzg", bench_kzg),
         ("msm_20", bench_msm_large),
     ]
     for name, fn in sections:
@@ -356,7 +369,9 @@ def main():
                 results[name] = dict(carried, stale=True)
             continue
         try:
+            t_sec = time.perf_counter()
             results[name] = fn()
+            log(f"[section {name}: {time.perf_counter() - t_sec:.0f}s]")
         except Exception as e:  # a broken section must not kill the record
             log(f"FAIL {name}: {type(e).__name__}: {e}")
             carried = (prev_results or {}).get(name)
