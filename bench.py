@@ -335,7 +335,9 @@ def main():
     # are skipped and their previous-round numbers carried forward.
     budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
     log(f"devices: {jax.devices()}")
-    results = {"platform": str(jax.devices()[0])}
+    from tpu_zk.utils.roofline import METHODOLOGY
+
+    results = {"platform": str(jax.devices()[0]), "methodology": METHODOLOGY}
 
     prev_results = None
     if os.path.exists(RESULTS_PATH):

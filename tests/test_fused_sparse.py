@@ -71,6 +71,18 @@ def test_fused_mul_tree():
     assert sparse.verify(circuit, pf, inputs)
 
 
+def test_fused_large_layer_path(monkeypatch):
+    """Force the unfused (per-phase + _rounds_tail) branch that big layers
+    take on TPU: with _FUSE_MAX dropped to 4, layers wider than 4 run
+    _phase1/_run_rounds/_phase2 individually and must stay bit-identical."""
+    monkeypatch.setattr(fused_sparse, "_FUSE_MAX", 4)
+    circuit = tree_sum_circuit(FR, 4, op=ADD)
+    inputs = [(i * 7 + 3) % 97 for i in range(16)]
+    pf = fused_sparse.prove(circuit, inputs)
+    _assert_same_proof(pf, sparse.prove(circuit, inputs))
+    assert sparse.verify(circuit, pf, inputs)
+
+
 def test_fused_succinct_matches_sparse():
     from tpu_zk.kzg.trusted_setup import TrustedSetup
 

@@ -33,3 +33,8 @@ def test_round_lm_matches_round():
     assert np.array_equal(np.asarray(d1), np.asarray(d2))
     assert np.array_equal(np.asarray(f1), np.asarray(f2.transpose(0, 1, 3, 2)))
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    # challenge + sponge buffer/position: a divergence here would only
+    # corrupt the transcript in *later* rounds, so check it explicitly
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.array_equal(np.asarray(b1), np.asarray(b2))
+    assert int(p1) == int(p2)

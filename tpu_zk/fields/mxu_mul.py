@@ -194,6 +194,10 @@ def fold_mxu_pallas(ctx: FieldCtx, flat: jnp.ndarray, r: jnp.ndarray, block: int
     """
     B, N2, L = flat.shape
     T = N2 // 2
+    assert N2 % 2 == 0 and T % block == 0, (
+        f"fold_mxu_pallas: half-table {T} must be a multiple of block {block} "
+        "(the grid would silently drop the tail)"
+    )
     nblocks = T // block
     m16_np, epi_np = _static_tables(ctx.name)
 
@@ -240,6 +244,10 @@ def mul_const_mxu_pallas(ctx: FieldCtx, a: jnp.ndarray, c_mont: jnp.ndarray, blo
     Bit-identical to ``arith.mont_mul(ctx, a, c)``; N % block == 0.
     """
     N, L = a.shape
+    assert N % block == 0, (
+        f"mul_const_mxu_pallas: N={N} must be a multiple of block {block} "
+        "(the grid would silently drop the tail)"
+    )
     _, epi_np = _static_tables(ctx.name)
     rows = const_rows(ctx, c_mont[None])  # [1, 4, L, L]
     d = _rows_to_bytes_T(ctx, rows)  # [2L, 4L] f32
@@ -293,6 +301,10 @@ def fold_mxu_lm(ctx: FieldCtx, lm: jnp.ndarray, r: jnp.ndarray, block: int = 204
     """
     B, L, N2 = lm.shape
     T = N2 // 2
+    assert N2 % 2 == 0 and T % block == 0, (
+        f"fold_mxu_lm: half-table {T} must be a multiple of block {block} "
+        "(the grid would silently drop the tail)"
+    )
     nblocks = T // block
     _, epi_np = _static_tables(ctx.name)
 
@@ -398,6 +410,10 @@ def dft_mxu(ctx: FieldCtx, x: jnp.ndarray, d: jnp.ndarray, m: int, bb: int,
     from .pallas_kernels import _consts_for
 
     L, m_, B = x.shape
+    assert m_ == m and B % bb == 0, (
+        f"dft_mxu: batch {B} must be a multiple of block {bb} and the radix "
+        f"axis {m_} must equal m={m} (the grid would silently drop the tail)"
+    )
     m16_np, epi_np = _static_tables(ctx.name)
     epi3 = jnp.asarray(epi_np)[:, :, None]  # rank-3 _col layout
     cios3 = jnp.asarray(_consts_for(ctx.name))[:, :, None]

@@ -130,6 +130,20 @@ def _level_offset(size: int, lvl: int) -> int:
     return 0 if lvl == 0 else 2 * size - (size >> (lvl - 1))
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _gather_openings(ctx: FieldCtx, codewords, stacks, vidx, sidx):
+    """All rounds' opened values + Merkle siblings in ONE device program.
+
+    The per-round host loop issued ~3 dispatches per round (gather,
+    from_mont, sibling gather) -- ~40 tunnel round-trips at 2^18; this is
+    one dispatch and one transfer for the whole query phase."""
+    vals = jnp.concatenate(
+        [arith.from_mont(ctx, cw[i]) for cw, i in zip(codewords, vidx)]
+    )
+    sibs = jnp.concatenate([st[i] for st, i in zip(stacks, sidx)])
+    return vals, sibs
+
+
 def _query_indices(transcript: Transcript, num: int, domain_size: int) -> list[int]:
     out = []
     while len(out) < num:
@@ -215,29 +229,31 @@ def _query_phase(
         tracked = [i % half for i in tracked]
         round_positions.append(tracked)
 
-    value_gathers = []
-    sib_gathers = []  # one [n_open * n_levels, 32] gather per round
+    vidx = []
+    sidx = []  # one [n_open * n_levels] sibling index array per round
     nlevels_per_round = []
     for r, positions in enumerate(round_positions):
         size = 1 << (config.domain_log2 - r)
         half = size // 2
-        gather = jnp.asarray(
-            [p for i in positions for p in (i, i + half)], dtype=jnp.int32
-        )
-        value_gathers.append(arith.from_mont(ctx, codewords[r][gather]))
         opened = np.asarray(
             [p for i in positions for p in (i, i + half)], dtype=np.int64
         )
+        vidx.append(jnp.asarray(opened, dtype=jnp.int32))
         nlevels = size.bit_length() - 1  # path levels (excludes the root)
         nlevels_per_round.append(nlevels)
         # offset of level l inside the flattened array: size + size/2 + ...
         flat_idx = np.concatenate(
             [_level_offset(size, lvl) + ((opened >> lvl) ^ 1) for lvl in range(nlevels)]
         )
-        sib_gathers.append(level_stack[r][jnp.asarray(flat_idx, jnp.int32)])
+        sidx.append(jnp.asarray(flat_idx, jnp.int32))
 
-    values_all = jnp.concatenate(value_gathers)  # [rounds * n_open, L]
-    sibs_all = jnp.concatenate(sib_gathers)  # [sum, 32]
+    values_all, sibs_all = _gather_openings(
+        ctx,
+        tuple(codewords[: config.num_rounds]),
+        tuple(level_stack),
+        tuple(vidx),
+        tuple(sidx),
+    )
     values_h, sibs_h = (
         np.asarray(a) for a in jax.device_get((values_all, sibs_all))
     )

@@ -228,6 +228,53 @@ def _epilogue(ctx: FieldCtx, wb_m, wc_m, state, buf, pos):
     return wb_p, wc_p, alpha_m, beta_m, claim_m, state, buf, pos
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _layer_small(ctx: FieldCtx, w_table, w_out, lefts, rights, is_add, claim_m, state, buf, pos):
+    """One whole layer -- phase-1 build, s rounds, phase-2 build, s rounds --
+    as a single device program (ONE dispatch).
+
+    Small layers are dispatch-bound, not math-bound: at depth 13 the per-round
+    programs cost ~2 ms of tunnel/dispatch latency each for microseconds of
+    math.  This program is keyed only by the layer's table size, so one
+    compile serves every layer of that size across all circuits and depths.
+    Bit-identical to the unfused path (same `_phase1`/`_round`/`_phase2`
+    bodies, inlined)."""
+    s = int(w_table.shape[0]).bit_length() - 1
+    stacked, claim_p, state, buf, pos = _phase1(
+        ctx, w_table, w_out, lefts, rights, is_add, claim_m, state, buf, pos
+    )
+    coeffs, digests, rs1 = [], [], []
+    for _ in range(s):
+        c, dg, r, stacked, state, buf, pos = _round(ctx, stacked, state, buf, pos)
+        coeffs.append(c)
+        digests.append(dg)
+        rs1.append(r)
+    rb_st = jnp.stack(rs1)
+    wb_m = stacked[0, 0, 0]
+
+    stacked = _phase2(ctx, w_table, w_out, rb_st, lefts, rights, is_add, wb_m)
+    rs2 = []
+    for _ in range(s):
+        c, dg, r, stacked, state, buf, pos = _round(ctx, stacked, state, buf, pos)
+        coeffs.append(c)
+        digests.append(dg)
+        rs2.append(r)
+    rc_st = jnp.stack(rs2)
+    wc_m = stacked[1, 1, 0]
+    return (
+        claim_p,
+        jnp.stack(coeffs),  # [2s, 3, L]
+        jnp.stack(digests),  # [2s, 32]
+        rb_st,
+        rc_st,
+        wb_m,
+        wc_m,
+        state,
+        buf,
+        pos,
+    )
+
+
 # ---------------------------------------------------------------------------
 # host driver
 # ---------------------------------------------------------------------------
@@ -235,6 +282,11 @@ def _epilogue(ctx: FieldCtx, wb_m, wc_m, state, buf, pos):
 # working sets at least this wide run the limb-major round (_round_lm);
 # below it the per-kernel dispatch overhead outweighs the layout win
 _LM_MIN = 4096
+
+# layers whose working set is at most this wide run as ONE fused device
+# program (_layer_small); wider layers are math-bound and keep the
+# per-round dispatch structure (limb-major MXU rounds)
+_FUSE_MAX = 4096
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -247,14 +299,43 @@ def _from_lm(ctx: FieldCtx, lm):
     return lm.transpose(0, 1, 3, 2)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _rounds_tail(ctx: FieldCtx, stacked, state, buf, pos):
+    """ALL remaining rounds (size S -> 1) of one phase as a single program.
+
+    Below ``_LM_MIN`` each round is dispatch-bound; unrolling the whole tail
+    collapses ~2*log2(S) dispatches into one.  Keyed by S only, so large
+    layers of every depth share these compiles with each other (and the
+    small fused layers' inner bodies)."""
+    s = int(stacked.shape[2]).bit_length() - 1
+    coeffs, digests, rs = [], [], []
+    for _ in range(s):
+        c, dg, r, stacked, state, buf, pos = _round(ctx, stacked, state, buf, pos)
+        coeffs.append(c)
+        digests.append(dg)
+        rs.append(r)
+    return (
+        jnp.stack(coeffs),  # [s, 3, L]
+        jnp.stack(digests),  # [s, 32]
+        jnp.stack(rs),  # [s, L]
+        stacked,
+        state,
+        buf,
+        pos,
+    )
+
+
 def _run_rounds(ctx: FieldCtx, stacked, state, buf, pos, s: int):
     """s sumcheck rounds over one phase's working set; large rounds run
-    limb-major.  Returns (coeffs, digests, rs, stacked, state, buf, pos)."""
+    limb-major, then the sub-``_LM_MIN`` tail runs as ONE fused program.
+    Returns (coeffs [s,3,L], digests [s,32], rs [s,L], stacked, state, buf,
+    pos)."""
     coeffs, digests, rs = [], [], []
     lm = None
+    remaining = s
     if jax.default_backend() == "tpu" and stacked.shape[2] >= _LM_MIN:
         lm = _to_lm(ctx, stacked)
-    for _ in range(s):
+    while remaining and (lm is not None or stacked.shape[2] <= 2):
         if lm is not None:
             c, dg, r, lm, state, buf, pos = _round_lm(ctx, lm, state, buf, pos)
             if lm.shape[-1] < _LM_MIN:
@@ -265,9 +346,19 @@ def _run_rounds(ctx: FieldCtx, stacked, state, buf, pos, s: int):
         coeffs.append(c)
         digests.append(dg)
         rs.append(r)
-    if lm is not None:
+        remaining -= 1
+    if lm is not None:  # only reachable if _LM_MIN were < 2; keep stacked fresh
         stacked = _from_lm(ctx, lm)
-    return coeffs, digests, rs, stacked, state, buf, pos
+    parts_c = [jnp.stack(coeffs)] if coeffs else []
+    parts_d = [jnp.stack(digests)] if digests else []
+    parts_r = [jnp.stack(rs)] if rs else []
+    if remaining:
+        tc, td, tr, stacked, state, buf, pos = _rounds_tail(ctx, stacked, state, buf, pos)
+        parts_c.append(tc)
+        parts_d.append(td)
+        parts_r.append(tr)
+    cat = lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps)  # noqa: E731
+    return cat(parts_c), cat(parts_d), cat(parts_r), stacked, state, buf, pos
 
 
 def _drive_layers(circuit: Circuit, ev, transcript: Transcript):
@@ -302,27 +393,35 @@ def _drive_layers(circuit: Circuit, ev, transcript: Transcript):
         else:
             w_out = _w_out_fold(ctx, rb_st, rc_st, alpha_m, beta_m, outs)
 
-        stacked, claim_p, state, buf, pos = _phase1(
-            ctx, w_table, w_out, lefts, rights, is_add, claim_m, state, buf, pos
-        )
-        coeffs1, digests1, rs1, stacked, state, buf, pos = _run_rounds(
-            ctx, stacked, state, buf, pos, s
-        )
-        rb_st = jnp.stack(rs1)  # [s, L]
-        wb_m = stacked[0, 0, 0]
+        if w_table.shape[0] <= _FUSE_MAX:
+            (
+                claim_p, coeffs_st, digests_st, rb_st, rc_st, wb_m, wc_m,
+                state, buf, pos,
+            ) = _layer_small(
+                ctx, w_table, w_out, lefts, rights, is_add, claim_m, state, buf, pos
+            )
+        else:
+            stacked, claim_p, state, buf, pos = _phase1(
+                ctx, w_table, w_out, lefts, rights, is_add, claim_m, state, buf, pos
+            )
+            coeffs1, digests1, rb_st, stacked, state, buf, pos = _run_rounds(
+                ctx, stacked, state, buf, pos, s
+            )
+            wb_m = stacked[0, 0, 0]
 
-        stacked = _phase2(ctx, w_table, w_out, rb_st, lefts, rights, is_add, wb_m)
-        coeffs2, digests2, rs2, stacked, state, buf, pos = _run_rounds(
-            ctx, stacked, state, buf, pos, s
-        )
-        rc_st = jnp.stack(rs2)
-        wc_m = stacked[1, 1, 0]
+            stacked = _phase2(ctx, w_table, w_out, rb_st, lefts, rights, is_add, wb_m)
+            coeffs2, digests2, rc_st, stacked, state, buf, pos = _run_rounds(
+                ctx, stacked, state, buf, pos, s
+            )
+            wc_m = stacked[1, 1, 0]
+            coeffs_st = jnp.concatenate([coeffs1, coeffs2])
+            digests_st = jnp.concatenate([digests1, digests2])
 
         rec = {
             "s": s,
             "claim_p": claim_p,
-            "coeffs": jnp.stack(coeffs1 + coeffs2),  # [2s, 3, L]
-            "digests": jnp.stack(digests1 + digests2),  # [2s, 32]
+            "coeffs": coeffs_st,  # [2s, 3, L]
+            "digests": digests_st,  # [2s, 32]
         }
         if layer_index < len(circuit.layers) - 1:
             wb_p, wc_p, alpha_m, beta_m, claim_m, state, buf, pos = _epilogue(

@@ -106,6 +106,100 @@ def keccak_f1600_device(state: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.fori_loop(0, 24, rnd, state)
 
 
+def keccak_round_lanes(A: jnp.ndarray, rc_pair: jnp.ndarray) -> jnp.ndarray:
+    """One Keccak-f round on a ``[25, 2, N]`` lane array (rc_pair: [2])."""
+
+    def rot1(c):  # [..., 2, N] 64-bit rotate-left by 1
+        lo, hi = c[..., 0, :], c[..., 1, :]
+        return jnp.stack([(lo << 1) | (hi >> 31), (hi << 1) | (lo >> 31)], axis=-2)
+
+    def rot_static(lo, hi, s):  # rotate-left by Python-int s
+        if s >= 32:
+            lo, hi = hi, lo
+            s -= 32
+        if s == 0:
+            return lo, hi
+        return (lo << s) | (hi >> (32 - s)), (hi << s) | (lo >> (32 - s))
+
+    # theta: C[x] = xor_y A[x + 5y]
+    grid = A.reshape((5, 5) + A.shape[1:])  # [y, x, 2, N]
+    C = grid[0] ^ grid[1] ^ grid[2] ^ grid[3] ^ grid[4]  # [5, 2, N]
+    D = jnp.roll(C, 1, axis=0) ^ rot1(jnp.roll(C, -1, axis=0))
+    A = (grid ^ D[None]).reshape(A.shape)
+    # rho + pi (static per-lane rotations, unrolled)
+    B = [None] * 25
+    for j in range(25):
+        src = A[_PI_SRC[j]]  # [2, N]
+        lo, hi = rot_static(src[0], src[1], int(_PI_ROT[j]))
+        B[j] = jnp.stack([lo, hi])
+    B = jnp.stack(B)  # [25, 2, N]
+    # chi
+    A = B ^ (~B[_CHI_1] & B[_CHI_2])
+    # iota
+    return A.at[0].set(A[0] ^ rc_pair[:, None])
+
+
+def keccak_f1600_list(lanes: list) -> list:
+    """Keccak-f[1600] on a list of 25 (lo, hi) uint32-array pairs.
+
+    Fully static formulation -- every roll/gather of the array version
+    becomes Python list indexing, so it lowers to plain vector xor/shift/and
+    with NO constant index arrays.  This is the form Pallas kernels need
+    (pallas_call rejects captured constants) and it compiles to the same
+    speed-of-light code path.  24 rounds, Python-unrolled, static round
+    constants."""
+
+    def rot(pair, s):
+        lo, hi = pair
+        if s >= 32:
+            lo, hi = hi, lo
+            s -= 32
+        if s == 0:
+            return (lo, hi)
+        return ((lo << s) | (hi >> (32 - s)), (hi << s) | (lo >> (32 - s)))
+
+    def x2(a, b):
+        return (a[0] ^ b[0], a[1] ^ b[1])
+
+    A = list(lanes)
+    for i in range(24):
+        # theta
+        C = [
+            x2(x2(x2(x2(A[x], A[x + 5]), A[x + 10]), A[x + 15]), A[x + 20])
+            for x in range(5)
+        ]
+        D = [x2(C[(x - 1) % 5], rot(C[(x + 1) % 5], 1)) for x in range(5)]
+        A = [x2(A[j], D[j % 5]) for j in range(25)]
+        # rho + pi
+        B = [rot(A[int(_PI_SRC[j])], int(_PI_ROT[j])) for j in range(25)]
+        # chi
+        A = [
+            (
+                B[j][0] ^ (~B[int(_CHI_1[j])][0] & B[int(_CHI_2[j])][0]),
+                B[j][1] ^ (~B[int(_CHI_1[j])][1] & B[int(_CHI_2[j])][1]),
+            )
+            for j in range(25)
+        ]
+        # iota
+        A[0] = (A[0][0] ^ np.uint32(_RC_PAIRS[i, 0]), A[0][1] ^ np.uint32(_RC_PAIRS[i, 1]))
+    return A
+
+
+def keccak_f1600_lanes(state: jnp.ndarray) -> jnp.ndarray:
+    """Keccak-f[1600] on a ``[25, 2, N]`` uint32 (lo, hi) lane array.
+
+    Batch-transposed layout for the *vectorized* users (Merkle levels, FRI
+    commits): the batch axis N rides the 128-wide TPU lane dimension, where
+    the ``[N, 25, 2]`` layout of :func:`keccak_f1600_device` puts a size-2
+    axis there (2/128 lanes live).  Rho/pi rotation amounts are Python-static
+    (unrolled over the 25 lanes), so every step is a full-width shift/
+    xor/and -- no per-lane selects or gathers.  Bit-identical to the
+    reference permutation.
+    """
+    rc = jnp.asarray(_RC_PAIRS)
+    return jax.lax.fori_loop(0, 24, lambda i, A: keccak_round_lanes(A, rc[i]), state)
+
+
 def _pack_lanes(block: jnp.ndarray) -> jnp.ndarray:
     """[k*8] uint32 bytes -> [k, 2] uint32 lanes, little-endian within lanes."""
     k8 = block.shape[0]

@@ -9,30 +9,9 @@ seconds for the big unrolled CPU graphs in tests), so every entry point
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 _DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
-
-
-def _host_fingerprint() -> str:
-    """Hash of the host CPU's ISA feature flags.
-
-    XLA:CPU AOT executables encode the compile machine's vector ISA; loading
-    one on a host with a different feature set (sessions run on varying
-    machines) aborts with SIGILL/segfault instead of a cache miss.  Keying the
-    cache directory by the flag set makes such entries invisible rather than
-    fatal.
-    """
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    return "nocpuinfo"
 
 
 def enable_persistent_cache(path: str | None = None) -> None:
@@ -48,9 +27,11 @@ def enable_persistent_cache(path: str | None = None) -> None:
     if backend == "cpu" or jax.default_backend() == "cpu":
         jax.config.update("jax_enable_compilation_cache", False)
         return
-    cache_dir = os.path.join(
-        os.path.abspath(path or _DEFAULT_DIR), backend + "-" + _host_fingerprint()
-    )
+    # TPU/axon executables target the accelerator, not the host CPU, so the
+    # host-ISA fingerprint (an XLA:CPU AOT safety key) must NOT key the cache:
+    # sessions hop between hosts and a fingerprinted dir would cold-miss the
+    # whole 2+ GB cache on every hop.
+    cache_dir = os.path.join(os.path.abspath(path or _DEFAULT_DIR), backend)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

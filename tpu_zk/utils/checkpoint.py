@@ -20,6 +20,13 @@ import numpy as np
 from ..fields.arith import FieldCtx, field_ctx  # noqa: F401  (FieldCtx in annotations)
 
 
+from ..poly.multilinear import MultilinearPolynomial, fold, sum_halves
+from ..sumcheck.basic import SumcheckProof
+from ..transcript.fiat_shamir import Transcript
+
+CHECKPOINT_FORMAT_VERSION = 2  # v2 = npz+JSON (v1 was pickle; no longer readable)
+
+
 def _dump_state(arrays: dict, meta: dict) -> bytes:
     """Checkpoint blob = npz of numeric arrays + one JSON metadata entry.
 
@@ -28,19 +35,30 @@ def _dump_state(arrays: dict, meta: dict) -> bytes:
     execute code.  Big field elements travel as hex strings inside the JSON.
     """
     buf = io.BytesIO()
+    meta = dict(meta, format_version=CHECKPOINT_FORMAT_VERSION)
     meta_arr = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(buf, __meta__=meta_arr, **arrays)
     return buf.getvalue()
 
 
 def _load_state(blob: bytes) -> tuple[dict, dict]:
-    with np.load(io.BytesIO(blob), allow_pickle=False) as z:
-        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
-        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    try:
+        with np.load(io.BytesIO(blob), allow_pickle=False) as z:
+            meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+            arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    except Exception as e:
+        raise ValueError(
+            "unreadable checkpoint: not a v2 npz+JSON blob (checkpoints "
+            "written before the npz format -- old pickle blobs -- are not "
+            "loadable; re-create the checkpoint)"
+        ) from e
+    version = meta.get("format_version", 1)
+    if version > CHECKPOINT_FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format v{version} is newer than supported "
+            f"v{CHECKPOINT_FORMAT_VERSION}"
+        )
     return arrays, meta
-from ..poly.multilinear import MultilinearPolynomial, fold, sum_halves
-from ..sumcheck.basic import SumcheckProof
-from ..transcript.fiat_shamir import Transcript
 
 
 class CheckpointableSumcheckProver:

@@ -30,6 +30,20 @@ VPU_U32_MUL_PER_S = 1.5e12
 VPU_U32_ADD_PER_S = 6.1e12
 MXU_BF16_MACS_PER_S = 98e12
 
+# Bumped whenever the roofline constants or the bench timing methodology
+# change (r4: measured-tunnel HBM ceiling replaced the 819 GB/s spec;
+# best-of-N min timing replaced single-run).  Written into
+# benchmarks/results.json so cross-round comparisons can detect a
+# methodology change mechanically instead of comparing apples to oranges.
+METHODOLOGY = {
+    "version": 2,
+    "hbm_bytes_per_s": HBM_BYTES_PER_S,
+    "vpu_u32_mul_per_s": VPU_U32_MUL_PER_S,
+    "vpu_u32_add_per_s": VPU_U32_ADD_PER_S,
+    "mxu_bf16_macs_per_s": MXU_BF16_MACS_PER_S,
+    "timing": "best-of-N min (N=3) per section; chained iterations for round kernels",
+}
+
 
 @dataclass
 class KernelModel:
